@@ -1,0 +1,28 @@
+"""nbody_tpu — a TPU-native N-body gravitational simulation engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+C++/OpenMP/ParlayLib/CUDA suite (mathaiml5/NBody-simulation-parallel): four
+algorithm tiers — brute force O(N²), Barnes-Hut octree, Hilbert-BVH, and the
+Fast Multipole Method — over a shared 2D/3D particle state with softened
+Newtonian gravity, Euler and leapfrog stepping, a cross-algorithm accuracy
+oracle, and a benchmark harness. See SURVEY.md for the reference layer map.
+"""
+
+from .config import (
+    DEFAULT_GRAVITY,
+    DEFAULT_TREE,
+    GravityConfig,
+    TreeConfig,
+)
+from .state import System, plummer_system, random_system
+from .integrators import euler_step, leapfrog_step, simulate
+from .ops.brute_force import (
+    brute_force_accelerations,
+    brute_force_blocked,
+    brute_force_direct,
+    kinetic_energy,
+    potential_energy,
+)
+from .utils.accuracy import accuracy_percentage, max_relative_error
+
+__version__ = "0.1.0"

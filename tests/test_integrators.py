@@ -1,0 +1,75 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_tpu import (
+    GravityConfig,
+    brute_force_direct,
+    euler_step,
+    kinetic_energy,
+    leapfrog_step,
+    plummer_system,
+    potential_energy,
+    random_system,
+    simulate,
+)
+
+
+def forces_fn_for(cfg):
+    return functools.partial(brute_force_direct, config=cfg)
+
+
+def test_euler_semantics(rng_key):
+    """v += F/m·dt then x += (new v)·dt — parity with methods.cpp:426-450."""
+    sys = random_system(rng_key, 32, dim=3, dtype=jnp.float64)
+    cfg = GravityConfig()
+    dt = 0.1
+    f = brute_force_direct(sys.positions, sys.masses, cfg)
+    v_want = sys.velocities + f / sys.masses[:, None] * dt
+    x_want = sys.positions + v_want * dt
+    out = euler_step(sys, forces_fn_for(cfg), dt)
+    np.testing.assert_allclose(np.asarray(out.velocities), np.asarray(v_want))
+    np.testing.assert_allclose(np.asarray(out.positions), np.asarray(x_want))
+
+
+def test_leapfrog_energy_conservation(rng_key):
+    """KDK leapfrog on a softened Plummer sphere conserves E to O(dt²)."""
+    sys = plummer_system(rng_key, 64, dim=3, dtype=jnp.float64,
+                         total_mass=1.0, scale_radius=1.0)
+    cfg = GravityConfig(G=1.0, softening=0.1)
+    fn = forces_fn_for(cfg)
+
+    def energy(s):
+        return float(kinetic_energy(s.velocities, s.masses)
+                     + potential_energy(s.positions, s.masses, cfg))
+
+    e0 = energy(sys)
+    final, _ = simulate(sys, fn, dt=1e-3, num_steps=200,
+                        integrator="leapfrog")
+    e1 = energy(final)
+    assert abs(e1 - e0) / abs(e0) < 1e-3
+
+
+def test_leapfrog_time_reversibility(rng_key):
+    sys = plummer_system(rng_key, 32, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig(G=1.0, softening=0.1)
+    fn = forces_fn_for(cfg)
+    fwd, _ = simulate(sys, fn, dt=1e-3, num_steps=50, integrator="leapfrog")
+    flipped = fwd.replace(velocities=-fwd.velocities)
+    back, _ = simulate(flipped, fn, dt=1e-3, num_steps=50,
+                       integrator="leapfrog")
+    np.testing.assert_allclose(np.asarray(back.positions),
+                               np.asarray(sys.positions), atol=1e-8)
+
+
+def test_simulate_jits(rng_key):
+    sys = random_system(rng_key, 16, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    fn = forces_fn_for(cfg)
+    run = jax.jit(functools.partial(simulate, forces_fn=fn, dt=0.01,
+                                    num_steps=5, integrator="euler"))
+    out, _ = run(sys)
+    assert out.positions.shape == sys.positions.shape
+    assert np.all(np.isfinite(np.asarray(out.positions)))
