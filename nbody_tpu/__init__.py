@@ -23,6 +23,10 @@ from .ops.brute_force import (
     kinetic_energy,
     potential_energy,
 )
-from .utils.accuracy import accuracy_percentage, max_relative_error
+from .utils.accuracy import (
+    accuracy_percentage,
+    max_relative_error,
+    scale_normalized_error,
+)
 
 __version__ = "0.1.0"

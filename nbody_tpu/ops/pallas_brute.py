@@ -1,0 +1,195 @@
+"""Tiled Pallas brute-force pairwise-force kernel — the flagship TPU kernel.
+
+TPU-native re-design of the reference CUDA kernel (``main_cuda.cu:24-57``,
+GPU Gems 3 ch. 31 pattern: one thread per body, source bodies streamed
+tile-by-tile through ``__shared__`` memory). Here the analogous structure is a
+2-D Pallas grid over (target_block, source_block): the target block and its
+force accumulator stay resident in VMEM while source blocks stream through,
+exactly like the CUDA shared-memory tile loop but with 256×1024-pair tiles
+instead of 256 threads.
+
+Math (attractive convention, Plummer softening — see ops/brute_force.py):
+
+    a_i = G · Σ_j  m_j (x_j − x_i) / (|x_j − x_i|² + ε²)^{3/2}
+
+Two reduction strategies, selected by ``mode``:
+
+* ``"precise"`` (default): d², u³ and the per-dimension weighted reductions
+  Σ_s w·(x_s − x_t) all on the VPU. Rounds at the scale of the *differences*,
+  so fp32 error stays ~1e-6 relative even at the reference's coordinate
+  magnitudes (~1e7).
+* ``"mxu"``: the O(T·S·D) reduction is a single MXU matmul of the (T,S)
+  weight tile against a premultiplied source matrix [m·x, m·y, m·z, m], via
+
+      Σ_j u³_ij m_j x_j − x_i Σ_j u³_ij m_j = (U @ S4)[:, :3] − x_i·(U @ S4)[:, 3]
+
+  ~40% fewer VPU ops, but the two matmul terms round at |x|·w scale while
+  their difference lives at d·w scale — ~1e-4 relative error on unsorted
+  inputs. Appropriate when bodies are Morton-sorted into spatially local
+  blocks (cancellation bounded by block extent), or when 1e-4 suffices.
+
+d² is always computed from per-dimension broadcast differences on the VPU:
+the |x|²+|y|²−2x·y matmul trick loses ~ε_f32·|x|² ≈ 3e7 *absolute* precision,
+destroying near-pair forces entirely.
+
+Self/coincident pairs cancel analytically in both formulations (x_j−x_i=0)
+but must still be masked: the softened self-weight m_i·ε^{-3} ≈ 1e26 would
+absorb every real term in the fp32 accumulator. The mask doubles as the
+reference's dist² < 1e-10 pair-skip guard (``methods.cpp:24``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DEFAULT_GRAVITY, GravityConfig
+from .brute_force import _DIST2_GUARD
+
+_PAD_POS = 2.0e9  # Padding bodies live far away with zero mass.
+
+
+def _kernel(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2, mode):
+    """One (target_block × source_block) tile of pairwise forces.
+
+    Refs:
+      pm_t_ref:  (T, 4) target positions, columns [x, y, z|0, 0].
+      src_t_ref: (8, S) transposed sources, rows 0..dim-1 = coords, row 3 = m.
+      src_m4_ref:(S, 4) premultiplied sources [m·x, m·y, m·z|0, m] (mxu mode).
+      out_ref:   (T, 4) accumulated accelerations (un-scaled by G·m_i).
+    """
+    j = pl.program_id(1)
+    pm_t = pm_t_ref[:]  # (T, 4)
+
+    # d² via per-dimension broadcast differences (VPU). Tiles kept live for
+    # the precise reduction below.
+    diffs = []
+    d2 = None
+    for d in range(dim):
+        diff = src_t_ref[d:d + 1, :] - pm_t[:, d:d + 1]  # (T, S)
+        diffs.append(diff)
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+
+    u = jax.lax.rsqrt(d2 + soft2)
+    u3 = u * u * u
+    # Mandatory: self/coincident mask (reference guard methods.cpp:24; also
+    # prevents softened self-terms from poisoning the fp32 accumulator).
+    u3 = jnp.where(d2 < _DIST2_GUARD, 0.0, u3)
+
+    if mode == "precise":
+        w = u3 * src_t_ref[3:4, :]  # × m_s
+        cols = [jnp.sum(w * diffs[d], axis=1, keepdims=True)
+                for d in range(dim)]
+        cols += [jnp.zeros_like(cols[0])] * (4 - dim)
+        contrib = jnp.concatenate(cols, axis=1)  # (T, 4)
+    else:  # "mxu"
+        a = jnp.dot(u3, src_m4_ref[:], preferred_element_type=jnp.float32)
+        contrib = a - pm_t * a[:, 3:4]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _pallas_accel(
+    pm, src_t, src_m4, *, dim, softening, block_t, block_s, mode, interpret):
+    n_pad = pm.shape[0]
+    grid = (n_pad // block_t, n_pad // block_s)
+    kernel = functools.partial(
+        _kernel, dim=dim, soft2=float(softening) ** 2, mode=mode)
+    flops_per_pair = 2 * dim + 6 + (3 * dim if mode == "precise" else 16)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * n_pad * n_pad,
+            bytes_accessed=n_pad * (4 + 8 + 4 + 4) * 4,
+            transcendentals=n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(pm, src_t, src_m4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("G", "softening", "block_t", "block_s", "mode",
+                     "interpret"))
+def _forces_impl(positions, masses, *, G, softening, block_t, block_s, mode,
+                 interpret):
+    """Whole pipeline (layout prep → kernel → rescale) as one executable."""
+    n, dim = positions.shape
+    positions = positions.astype(jnp.float32)
+    masses = masses.astype(jnp.float32)
+
+    block = max(block_t, block_s)
+    n_pad = -(-n // block) * block
+
+    # (N,4) target layout [x, y, z|0, 0] — column 3 stays zero so the mxu
+    # branch's `pm_t * a[:, 3:4]` correction is a no-op there.
+    pm = jnp.zeros((n_pad, 4), jnp.float32)
+    pm = pm.at[:n, :dim].set(positions)
+    pm = pm.at[n:, :dim].set(_PAD_POS)
+
+    # (8, N) transposed sources: rows 0..dim-1 coords, row 3 masses
+    # (sublane dim padded to the fp32 min tile). Padding has m=0.
+    src_t = jnp.zeros((8, n_pad), jnp.float32)
+    src_t = src_t.at[:dim, :n].set(positions.T)
+    src_t = src_t.at[:dim, n:].set(_PAD_POS)
+    src_t = src_t.at[3, :n].set(masses)
+
+    # (N,4) premultiplied sources [m·x, m·y, m·z|0, m] for mxu mode.
+    src_m4 = jnp.zeros((n_pad, 4), jnp.float32)
+    src_m4 = src_m4.at[:n, :dim].set(positions * masses[:, None])
+    src_m4 = src_m4.at[:n, 3].set(masses)
+
+    acc = _pallas_accel(
+        pm, src_t, src_m4,
+        dim=dim, softening=softening,
+        block_t=block_t, block_s=block_s, mode=mode, interpret=interpret)
+
+    g = jnp.float32(G)
+    return (g * masses)[:, None] * acc[:n, :dim]
+
+
+def brute_force_pallas(
+    positions: jax.Array,
+    masses: jax.Array,
+    config: GravityConfig = DEFAULT_GRAVITY,
+    block_t: int = 256,
+    block_s: int = 1024,
+    mode: str = "precise",
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-body forces [N, D] via the tiled Pallas kernel (fp32).
+
+    ``interpret=True`` runs the same kernel through the Pallas interpreter —
+    the CPU-testable path (SURVEY.md §4's "fake backend" analog).
+    """
+    if mode not in ("precise", "mxu"):
+        raise ValueError(f"mode must be 'precise' or 'mxu', got {mode!r}")
+    return _forces_impl(
+        positions, masses,
+        G=float(config.G), softening=float(config.softening),
+        block_t=block_t, block_s=block_s, mode=mode, interpret=interpret)

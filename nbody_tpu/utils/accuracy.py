@@ -58,6 +58,22 @@ def accuracy_percentage(
                                            else jnp.float32))
 
 
+def scale_normalized_error(forces, reference_forces):
+    """max_i ‖F_i − F_i^ref‖ normalized by the RMS reference force magnitude.
+
+    The right metric for fp32-kernel-vs-fp64-oracle comparisons: per-body
+    relative error (:func:`max_relative_error`) explodes for bodies whose net
+    force nearly cancels, which says nothing about kernel quality.
+    """
+    forces = jnp.asarray(forces)
+    reference_forces = jnp.asarray(reference_forces)
+    num = jnp.linalg.norm(forces - reference_forces, axis=-1)
+    scale = jnp.sqrt(jnp.mean(
+        jnp.sum(reference_forces * reference_forces, axis=-1)))
+    err = jnp.max(num) / jnp.maximum(scale, jnp.finfo(scale.dtype).tiny)
+    return jnp.where(jnp.all(jnp.isfinite(forces)), err, jnp.inf)
+
+
 def max_relative_error(forces, reference_forces):
     """max_i ‖F_i − F_i^ref‖ / ‖F_i^ref‖ — the BASELINE.json ≤1e-4 metric."""
     forces = jnp.asarray(forces)

@@ -7,13 +7,22 @@ multi-node on one box — SURVEY.md §4). Must be set before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon TPU-tunnel sitecustomize (/root/.axon_site) registers its backend
+# at interpreter start and pins jax_platforms="axon,cpu" via jax.config, so
+# the env var alone is not enough — override the config and drop any backend
+# set initialized before this conftest ran.
+jax.config.update("jax_platforms", "cpu")
+from jax.extend.backend import clear_backends  # noqa: E402
+
+clear_backends()
 
 jax.config.update("jax_enable_x64", True)
 

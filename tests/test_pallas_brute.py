@@ -1,0 +1,74 @@
+"""Pallas brute-force kernel vs the jnp oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import GravityConfig, random_system
+from nbody_tpu.utils.accuracy import scale_normalized_error
+from nbody_tpu.ops.brute_force import brute_force_direct
+from nbody_tpu.ops.pallas_brute import brute_force_pallas
+
+
+@pytest.mark.parametrize("n", [96, 256])
+def test_matches_jnp_oracle(rng_key, dim, n):
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(
+        sys.positions.astype(jnp.float64),
+        sys.masses.astype(jnp.float64), cfg)
+    got = brute_force_pallas(sys.positions, sys.masses, cfg,
+                             block_t=64, block_s=128, interpret=True)
+    assert got.shape == (n, dim)
+    assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+def test_padding_path(rng_key):
+    # N not a multiple of any block size exercises zero-mass far padding.
+    sys = random_system(rng_key, 100, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = brute_force_pallas(sys.positions, sys.masses, cfg,
+                             block_t=64, block_s=64, interpret=True)
+    assert float(scale_normalized_error(got, want)) < 1e-3
+
+
+def test_coincident_bodies(rng_key):
+    pos = jnp.array([[1.0, 1.0, 1.0]] * 2 + [[5.0, 1.0, 1.0]],
+                    dtype=jnp.float32)
+    pos = jnp.concatenate([pos, jax.random.uniform(
+        rng_key, (61, 3), minval=10.0, maxval=20.0)], axis=0)
+    mass = jnp.ones((64,), jnp.float32)
+    cfg = GravityConfig(G=1.0, softening=0.0)
+    got = brute_force_pallas(pos, mass, cfg, block_t=64, block_s=64,
+                             interpret=True)
+    want = brute_force_direct(pos, mass, cfg)
+    assert np.all(np.isfinite(np.asarray(got)))
+    assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+def test_2d_matches(rng_key):
+    sys = random_system(rng_key, 128, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = brute_force_pallas(sys.positions, sys.masses, cfg,
+                             block_t=64, block_s=128, interpret=True)
+    assert got.shape == (128, 2)
+    assert float(scale_normalized_error(got, want)) < 1e-3
+
+
+def test_mxu_mode_tolerance(rng_key):
+    """MXU-reduction mode trades ~1e-4 cancellation error for speed."""
+    sys = random_system(rng_key, 256, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = brute_force_pallas(sys.positions, sys.masses, cfg, block_t=64,
+                             block_s=128, mode="mxu", interpret=True)
+    assert float(scale_normalized_error(got, want)) < 5e-3
+
+
+def test_bad_mode_raises(rng_key):
+    sys = random_system(rng_key, 64, dim=3)
+    with pytest.raises(ValueError):
+        brute_force_pallas(sys.positions, sys.masses, mode="fast")
