@@ -1,0 +1,66 @@
+"""Headline benchmark: N=1M 2D fp32 brute-force step on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference suite's CUDA brute-force at N=1e6, 2D, fp32 =
+8.640 s on its (undocumented) GPU — BASELINE.md, row `1000000,BruteForce_CUDA,2`.
+``vs_baseline`` is the speedup factor (baseline_time / our_time; >1 = faster
+than the reference).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_MS = 8640.0  # reference BruteForce_CUDA N=1e6 2D (BASELINE.md)
+N = 1_048_576
+DIM = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import nbody_tpu as nb
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from nbody_tpu.ops.pallas_brute import brute_force_pallas
+
+        def forces(pos, mass):
+            return brute_force_pallas(pos, mass, nb.GravityConfig(),
+                                      mode="precise")
+        n = N
+    else:  # CPU fallback so the bench never hard-fails off-TPU.
+        def forces(pos, mass):
+            return nb.brute_force_blocked(pos, mass, nb.GravityConfig(),
+                                          block_size=1024)
+        n = 16_384
+
+    system = nb.random_system(jax.random.key(7), n, dim=DIM,
+                              dtype=jnp.float32)
+
+    def run():
+        out = forces(system.positions, system.masses)
+        # Materialize: block_until_ready is a no-op through the axon relay.
+        return float(jnp.sum(jnp.abs(out)))
+
+    checksum = run()  # warmup + compile
+    t0 = time.perf_counter()
+    checksum = run()
+    elapsed_ms = (time.perf_counter() - t0) * 1e3
+
+    if not (checksum > 0 and checksum < float("inf")):
+        print(json.dumps({"metric": "error", "value": -1.0,
+                          "unit": "ms", "vs_baseline": 0.0}))
+        sys.exit(1)
+
+    print(json.dumps({
+        "metric": f"brute_force_N{n}_{DIM}D_fp32_step_time"
+                  + ("" if on_tpu else "_cpu_fallback"),
+        "value": round(elapsed_ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / elapsed_ms, 3) if on_tpu else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,14 +44,25 @@ def _accel_rows(
     softening,
     dtype=None,
 ) -> jax.Array:
-    """Acceleration (force / m_target) on each target from all sources: [T, D]."""
-    diff = sources[None, :, :] - targets[:, None, :]  # [T, S, D]
-    d2 = jnp.sum(diff * diff, axis=-1)  # [T, S]
+    """Acceleration (force / m_target) on each target from all sources: [T, D].
+
+    Works dimension-by-dimension so only (T, S) tiles are ever materialized —
+    never a (T, S, D) tensor. This is the same dataflow as the Pallas kernel's
+    "precise" mode, so jnp and Pallas paths agree to fp rounding.
+    """
+    ndim = targets.shape[-1]
+    diffs = []
+    d2 = None
+    for d in range(ndim):
+        diff = sources[:, d][None, :] - targets[:, d][:, None]  # [T, S]
+        diffs.append(diff)
+        d2 = diff * diff if d2 is None else d2 + diff * diff
     soft2 = jnp.asarray(softening, d2.dtype) ** 2
     inv_r = jax.lax.rsqrt(d2 + soft2)
     w = source_masses[None, :] * (inv_r * inv_r * inv_r)  # m_j / r³
     w = jnp.where(d2 < _DIST2_GUARD, jnp.zeros_like(w), w)
-    return jnp.einsum("ts,tsd->td", w, diff)
+    return jnp.stack([jnp.sum(w * diffs[d], axis=1) for d in range(ndim)],
+                     axis=-1)
 
 
 def brute_force_accelerations(
