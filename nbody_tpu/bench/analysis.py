@@ -1,0 +1,147 @@
+"""Results aggregation and speedup analysis — notebook parity.
+
+Replaces ``analysis/analyze_results.ipynb``: glob ``results/*.csv``, drop
+invalid rows (time < 0), group by (Bodies, Method, Dimension) and average
+repeated runs, write ``aggregated_results.csv``, and compute
+speedup-vs-reference-method tables (notebook cells 2-12). Plots are optional
+(matplotlib, if importable); the aggregation itself is dependency-light
+(no pandas required).
+
+Run:  python -m nbody_tpu.bench.analysis [results_dir]
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import sys
+from collections import defaultdict
+from typing import Dict, List, Tuple
+
+Key = Tuple[int, str, int]  # (bodies, method, dim)
+
+
+def load_results(results_dir: str = "results") -> List[dict]:
+    rows = []
+    for path in sorted(glob.glob(os.path.join(results_dir, "*.csv"))):
+        with open(path) as f:
+            reader = csv.DictReader(f)
+            for row in reader:
+                try:
+                    t = float(row["Time(s)"])
+                except (KeyError, ValueError):
+                    continue
+                if t < 0:  # failed run sentinel (utils.h:88-104)
+                    continue
+                rows.append({
+                    "Method": row["Method"],
+                    "Bodies": int(row["Bodies"]),
+                    "Dimension": int(row["Dimension"]),
+                    "Time(s)": t,
+                    "Accuracy(%)": (float(row["Accuracy(%)"])
+                                    if row.get("Accuracy(%)") else None),
+                })
+    return rows
+
+
+def aggregate(rows: List[dict]) -> Dict[Key, dict]:
+    """Mean over repeated runs, keyed by (Bodies, Method, Dimension)."""
+    groups: Dict[Key, List[dict]] = defaultdict(list)
+    for r in rows:
+        groups[(r["Bodies"], r["Method"], r["Dimension"])].append(r)
+    out = {}
+    for key, g in sorted(groups.items()):
+        times = [r["Time(s)"] for r in g]
+        accs = [r["Accuracy(%)"] for r in g if r["Accuracy(%)"] is not None]
+        out[key] = {
+            "Bodies": key[0], "Method": key[1], "Dimension": key[2],
+            "Time(s)": sum(times) / len(times),
+            "Accuracy(%)": (sum(accs) / len(accs)) if accs else None,
+            "Runs": len(g),
+        }
+    return out
+
+
+def write_aggregated(agg: Dict[Key, dict], path: str):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Bodies", "Method", "Dimension", "Time(s)",
+                    "Accuracy(%)", "Runs"])
+        for row in agg.values():
+            w.writerow([row["Bodies"], row["Method"], row["Dimension"],
+                        f"{row['Time(s)']:.6f}",
+                        "" if row["Accuracy(%)"] is None
+                        else f"{row['Accuracy(%)']:.2f}",
+                        row["Runs"]])
+
+
+def speedup_table(agg: Dict[Key, dict],
+                  baseline_method: str = "BruteForce_JNP") -> List[dict]:
+    """Speedup of every method vs ``baseline_method`` at the same (N, dim).
+
+    Notebook-parity: cells computing speedup vs BruteForce_Sequential.
+    """
+    out = []
+    for (n, method, dim), row in agg.items():
+        base = agg.get((n, baseline_method, dim))
+        if base is None or method == baseline_method:
+            continue
+        out.append({
+            "Bodies": n, "Dimension": dim, "Method": method,
+            "Speedup": base["Time(s)"] / max(row["Time(s)"], 1e-12),
+        })
+    return out
+
+
+def maybe_plot(agg: Dict[Key, dict], results_dir: str):
+    """Log-log runtime plots per dimension (performance_plot_*.png parity)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    for dim in (2, 3):
+        series: Dict[str, List[Tuple[int, float]]] = defaultdict(list)
+        for (n, method, d), row in agg.items():
+            if d == dim:
+                series[method].append((n, row["Time(s)"]))
+        if not series:
+            continue
+        fig, ax = plt.subplots(figsize=(8, 5))
+        for method, pts in sorted(series.items()):
+            pts.sort()
+            ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                    marker="o", label=method)
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        ax.set_xlabel("N bodies")
+        ax.set_ylabel("Time (s)")
+        ax.set_title(f"{dim}D force-evaluation runtime")
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(os.path.join(results_dir,
+                                 f"performance_plot_{dim}D.png"), dpi=120)
+        plt.close(fig)
+
+
+def main(argv=None) -> int:
+    results_dir = argv[0] if argv else "results"
+    rows = load_results(results_dir)
+    if not rows:
+        print(f"no valid result rows found in {results_dir}/*.csv")
+        return 1
+    agg = aggregate(rows)
+    out_path = os.path.join(results_dir, "aggregated_results.csv")
+    write_aggregated(agg, out_path)
+    print(f"aggregated {len(rows)} rows into {len(agg)} groups -> {out_path}")
+    for s in speedup_table(agg):
+        print(f"  N={s['Bodies']:>9} {s['Dimension']}D "
+              f"{s['Method']:<24} speedup {s['Speedup']:.2f}x")
+    maybe_plot(agg, results_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,99 @@
+"""Method registry — the engine's analog of the reference's 14 entry points.
+
+The reference enumerates ``{brute, barnes_hut, bvh, fmm} × {seq, omp, parlay}``
+(+2 brute variants) in ``methods.h:30-82``. On TPU "seq/omp/parlay" collapse
+into execution *paths* per algorithm tier (SURVEY.md §2.2 item 4):
+
+* ``jnp``    — interpretable XLA path (the reference-oracle role of "seq"),
+* ``pallas`` — single-chip compiled kernel path (the "omp/parlay" fast role),
+* ``ring`` / ``sharded`` — multi-chip path (a tier the reference lacks).
+
+Tier letters match the reference CLI (``main.cpp:885-928``):
+a = brute force, b = Barnes-Hut, h = BVH, f = FMM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+
+from ..config import DEFAULT_TREE, GravityConfig, TreeConfig
+
+# signature: (positions, masses, gravity_cfg, tree_cfg) -> forces [N, D]
+MethodFn = Callable[[jax.Array, jax.Array, GravityConfig, TreeConfig],
+                    jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class Method:
+    name: str
+    tier: str  # 'a' | 'b' | 'h' | 'f'
+    fn: MethodFn
+    tpu_only: bool = False
+
+
+_REGISTRY: Dict[str, Method] = {}
+
+
+def register(name: str, tier: str, tpu_only: bool = False):
+    def deco(fn: MethodFn) -> MethodFn:
+        _REGISTRY[name] = Method(name=name, tier=tier, fn=fn,
+                                 tpu_only=tpu_only)
+        return fn
+    return deco
+
+
+def get(name: str) -> Method:
+    return _REGISTRY[name]
+
+
+def methods_for_tiers(tiers: str, include_tpu_only: Optional[bool] = None):
+    """All registered methods whose tier letter is in ``tiers`` (e.g. "abhf")."""
+    if include_tpu_only is None:
+        include_tpu_only = jax.default_backend() == "tpu"
+    return [m for m in _REGISTRY.values()
+            if m.tier in tiers and (include_tpu_only or not m.tpu_only)]
+
+
+def all_methods():
+    return dict(_REGISTRY)
+
+
+# --- Tier a: brute force -----------------------------------------------------
+
+@register("BruteForce_JNP", "a")
+def _bf_jnp(pos, mass, cfg, tree_cfg):
+    from ..ops.brute_force import brute_force_blocked
+    return brute_force_blocked(pos, mass, cfg, block_size=1024)
+
+
+@register("BruteForce_Pallas", "a", tpu_only=True)
+def _bf_pallas(pos, mass, cfg, tree_cfg):
+    from ..ops.pallas_brute import brute_force_pallas
+    return brute_force_pallas(pos, mass, cfg, mode="precise")
+
+
+@register("BruteForce_Pallas_MXU", "a", tpu_only=True)
+def _bf_pallas_mxu(pos, mass, cfg, tree_cfg):
+    from ..ops.pallas_brute import brute_force_pallas
+    return brute_force_pallas(pos, mass, cfg, mode="mxu")
+
+
+@register("BruteForce_Ring", "a")
+def _bf_ring(pos, mass, cfg, tree_cfg):
+    from ..parallel.ring import ring_brute_force
+    return ring_brute_force(pos, mass, cfg)
+
+
+def reference_method_for(n: int) -> Method:
+    """Reference-force implementation selection by N (main.cpp:102-124).
+
+    The reference picks seq (<1e5) / OMP (<5e7) / Parlay; here the analogous
+    split is the jnp blocked path for any N on CPU, and the Pallas kernel on
+    TPU once N is large enough that kernel launch overhead amortizes.
+    """
+    if jax.default_backend() == "tpu" and n >= 32768:
+        return get("BruteForce_Pallas")
+    return get("BruteForce_JNP")
