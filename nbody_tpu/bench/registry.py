@@ -87,6 +87,20 @@ def _bf_ring(pos, mass, cfg, tree_cfg):
     return ring_brute_force(pos, mass, cfg)
 
 
+# --- Tier b: Barnes-Hut ------------------------------------------------------
+
+@register("BarnesHut_Grid", "b")
+def _bh_grid(pos, mass, cfg, tree_cfg):
+    from ..ops.grid_tree import barnes_hut_grid
+    return barnes_hut_grid(pos, mass, cfg, theta=cfg.theta)
+
+
+@register("BarnesHut_Grid_Theta05", "b")
+def _bh_grid_05(pos, mass, cfg, tree_cfg):
+    from ..ops.grid_tree import barnes_hut_grid
+    return barnes_hut_grid(pos, mass, cfg, theta=0.5)
+
+
 def reference_method_for(n: int) -> Method:
     """Reference-force implementation selection by N (main.cpp:102-124).
 

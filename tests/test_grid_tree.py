@@ -1,0 +1,104 @@
+"""Grid-tree build invariants and Barnes-Hut accuracy vs direct sum."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import GravityConfig, random_system
+from nbody_tpu.ops.brute_force import brute_force_direct
+from nbody_tpu.ops.grid_tree import (
+    auto_leaf_level,
+    barnes_hut_grid,
+    build_grid_tree,
+    cell_coords,
+    compute_capacity,
+    theta_to_ring,
+)
+from nbody_tpu.ops.keys import morton_key_from_coords
+from nbody_tpu.utils.accuracy import scale_normalized_error
+
+
+def test_cell_coords_roundtrip():
+    for dim, bits in ((2, 5), (3, 4)):
+        n_cells = 1 << (dim * bits)
+        ids = jnp.arange(n_cells, dtype=jnp.uint32)
+        xy = cell_coords(ids, dim)
+        back = morton_key_from_coords(xy, bits)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(ids))
+
+
+def test_build_invariants(rng_key, dim):
+    sys = random_system(rng_key, 500, dim=dim, dtype=jnp.float64)
+    L = auto_leaf_level(500, dim)
+    C = compute_capacity(sys.positions, L)
+    tree = build_grid_tree(sys.positions, sys.masses, L, C)
+
+    # Mass conservation at every level.
+    total = float(jnp.sum(sys.masses))
+    for l in range(L + 1):
+        np.testing.assert_allclose(float(jnp.sum(tree.level_mass[l])),
+                                   total, rtol=1e-12)
+    # Root COM = global COM.
+    com = np.asarray(jnp.sum(sys.masses[:, None] * sys.positions, axis=0)
+                     / total)
+    np.testing.assert_allclose(np.asarray(tree.level_com[0][0]), com,
+                               rtol=1e-12)
+    # Every body occupies exactly one slot.
+    slots = np.asarray(tree.slot_index)
+    occupied = slots[slots >= 0]
+    assert len(occupied) == 500 and len(np.unique(occupied)) == 500
+    # Sorted bodies are in Morton order of their leaf ids.
+    leaf_ids = np.asarray(tree.leaf_ids)
+    assert np.all(np.diff(leaf_ids) >= 0)
+
+
+def test_theta_to_ring():
+    assert theta_to_ring(0.5) == 1
+    assert theta_to_ring(0.25) == 3
+    assert theta_to_ring(1.0) == 1
+
+
+@pytest.mark.parametrize("n", [256, 1000])
+def test_bh_matches_direct(rng_key, dim, n):
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5)
+    # Worst-body error at theta=0.5: ~1e-3 in 2D, up to ~2e-2 in 3D (the
+    # cell diagonal is sqrt(3) of the side, so the ring MAC is looser).
+    err = float(scale_normalized_error(got, want))
+    assert err < 4e-2, f"theta=0.5 error too large: {err}"
+
+
+def test_bh_converges_with_theta(rng_key):
+    sys = random_system(rng_key, 1000, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    errs = []
+    for theta in (0.5, 0.25, 0.125):
+        got = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=theta)
+        errs.append(float(scale_normalized_error(got, want)))
+    assert errs[1] < errs[0] and errs[2] < errs[1], errs
+    assert errs[2] < 1e-3
+
+
+def test_bh_small_n(rng_key):
+    # N small enough that the tree degenerates to near-field only.
+    sys = random_system(rng_key, 16, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = barnes_hut_grid(sys.positions, sys.masses, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_bh_force_sign(rng_key):
+    """Anti-regression vs SURVEY.md §8.1: tree forces must be attractive."""
+    pos = jnp.array([[0.0, 0.0], [10.0, 0.0]] +
+                    [[100.0 + i, 100.0] for i in range(14)], dtype=jnp.float64)
+    mass = jnp.ones((16,), jnp.float64)
+    got = np.asarray(barnes_hut_grid(pos, mass, GravityConfig(G=1.0)))
+    assert got[0, 0] > 0  # body 0 pulled toward +x
+    assert got[1, 0] < 0 or got[1, 0] > 0  # finite
+    want = np.asarray(brute_force_direct(pos, mass, GravityConfig(G=1.0)))
+    assert np.sign(got[0, 0]) == np.sign(want[0, 0])
