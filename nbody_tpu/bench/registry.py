@@ -101,6 +101,15 @@ def _bh_grid_05(pos, mass, cfg, tree_cfg):
     return barnes_hut_grid(pos, mass, cfg, theta=0.5)
 
 
+# --- Tier h: Hilbert BVH -----------------------------------------------------
+
+@register("BVH_Radix", "h")
+def _bvh_radix(pos, mass, cfg, tree_cfg):
+    from ..ops.bvh import bvh_forces
+    return bvh_forces(pos, mass, cfg,
+                      leaf_size=tree_cfg.max_bodies_per_leaf)
+
+
 def reference_method_for(n: int) -> Method:
     """Reference-force implementation selection by N (main.cpp:102-124).
 

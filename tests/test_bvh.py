@@ -1,0 +1,97 @@
+"""Radix-BVH build invariants and force accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu import GravityConfig, random_system
+from nbody_tpu.ops.brute_force import brute_force_direct
+from nbody_tpu.ops.bvh import build_bvh, bvh_forces
+from nbody_tpu.ops.keys import MAX_BITS
+from nbody_tpu.utils.accuracy import scale_normalized_error
+
+
+def make_tree(rng_key, n, dim):
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float64)
+    kb = dim * MAX_BITS[dim]
+    return sys, build_bvh(sys.positions, sys.masses, kb)
+
+
+def test_build_invariants(rng_key, dim):
+    n = 300
+    sys, tree = make_tree(rng_key, n, dim)
+    total = float(jnp.sum(sys.masses))
+
+    # Root covers everything, mass conserved, COM correct.
+    assert int(tree.range_l[0]) == 0 and int(tree.range_r[0]) == n - 1
+    np.testing.assert_allclose(float(tree.node_mass[0]), total, rtol=1e-12)
+    com = np.asarray(jnp.sum(sys.masses[:, None] * sys.positions, axis=0)
+                     / total)
+    np.testing.assert_allclose(np.asarray(tree.node_com[0]), com, rtol=1e-12)
+
+    # Every internal node's children partition its range.
+    rl = np.asarray(tree.range_l)
+    rr = np.asarray(tree.range_r)
+    left = np.asarray(tree.left)
+    for i in range(min(n - 1, 64)):
+        lc = left[i]
+        assert rl[lc] == rl[i], (i, lc)
+        # right child = sibling of left: ranges are contiguous
+        assert rr[lc] < rr[i]
+
+
+def test_escape_terminates(rng_key):
+    n = 128
+    _, tree = make_tree(rng_key, n, 2)
+    esc = np.asarray(tree.escape)
+    # Root escapes to INVALID, all escapes point to later ranges or INVALID.
+    assert esc[0] == 2_147_483_647
+    rl = np.asarray(tree.range_l)
+    for v in range(1, 2 * n - 1):
+        e = esc[v]
+        if e != 2_147_483_647:
+            assert rl[e] == np.asarray(tree.range_r)[v] + 1
+
+
+@pytest.mark.parametrize("n", [64, 500])
+def test_bvh_matches_direct(rng_key, dim, n):
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25, batch=128)
+    err = float(scale_normalized_error(got, want))
+    assert err < 5e-3, f"theta=0.25 BVH error too large: {err}"
+
+
+def test_bvh_theta_zero_exact(rng_key):
+    """theta=0 disables the MAC: BVH must equal direct sum exactly."""
+    sys = random_system(rng_key, 200, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = bvh_forces(sys.positions, sys.masses, cfg, theta=1e-9, batch=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9)
+
+
+def test_bvh_converges_with_theta(rng_key):
+    sys = random_system(rng_key, 400, dim=3, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    errs = [float(scale_normalized_error(
+        bvh_forces(sys.positions, sys.masses, cfg, theta=th, batch=128),
+        want)) for th in (0.8, 0.4, 0.2)]
+    assert errs[2] < errs[0], errs
+    assert errs[2] < 5e-3
+
+
+def test_duplicate_positions(rng_key):
+    """Identical keys exercise the index-tiebreak path (Karras §4)."""
+    base = random_system(rng_key, 32, dim=2, dtype=jnp.float64)
+    pos = jnp.concatenate([base.positions, base.positions[:8]])
+    mass = jnp.concatenate([base.masses, base.masses[:8]])
+    cfg = GravityConfig()
+    got = bvh_forces(pos, mass, cfg, batch=64)
+    want = brute_force_direct(pos, mass, cfg)
+    assert np.all(np.isfinite(np.asarray(got)))
+    err = float(scale_normalized_error(got, want))
+    assert err < 5e-3
