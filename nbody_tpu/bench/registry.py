@@ -101,6 +101,18 @@ def _bh_grid_05(pos, mass, cfg, tree_cfg):
     return barnes_hut_grid(pos, mass, cfg, theta=0.5)
 
 
+@register("BarnesHut_Sharded", "b")
+def _bh_sharded(pos, mass, cfg, tree_cfg):
+    from ..parallel.sharded_tree import barnes_hut_sharded
+    return barnes_hut_sharded(pos, mass, cfg, theta=0.5)
+
+
+@register("FMM_Sharded", "f")
+def _fmm_sharded(pos, mass, cfg, tree_cfg):
+    from ..parallel.sharded_tree import fmm_sharded
+    return fmm_sharded(pos, mass, cfg, order=min(tree_cfg.order, 8))
+
+
 # --- Tier h: Hilbert BVH -----------------------------------------------------
 
 @register("BVH_Radix", "h")
@@ -108,6 +120,14 @@ def _bvh_radix(pos, mass, cfg, tree_cfg):
     from ..ops.bvh import bvh_forces
     return bvh_forces(pos, mass, cfg,
                       leaf_size=tree_cfg.max_bodies_per_leaf)
+
+
+# --- Tier f: FMM -------------------------------------------------------------
+
+@register("FMM_Chebyshev", "f")
+def _fmm_cheb(pos, mass, cfg, tree_cfg):
+    from ..ops.fmm import fmm_forces
+    return fmm_forces(pos, mass, cfg, order=min(tree_cfg.order, 8))
 
 
 def reference_method_for(n: int) -> Method:

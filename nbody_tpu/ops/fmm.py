@@ -1,0 +1,402 @@
+"""Fast Multipole Method — black-box (Chebyshev) FMM on the grid tree.
+
+The reference's FMM is its most broken subsystem (SURVEY.md §8.3/8.4/8.9/8.10):
+the "sequential FMM" is actually a Barnes-Hut walk (``fmm.cpp:599-703``), the
+OpenMP variant doesn't compile (``fmm_omp.cpp:228``), 3D expansions are a
+monopole placeholder (``fmm.cpp:195-198``), the 2D expansions use the complex
+*log* kernel (``fmm.cpp:77-133``) which does not even match the suite's own
+1/r² brute-force law, and the hard-coded ``Expansion<D,10>`` overflows at the
+default order 16 (``fmm.h:61`` vs ``methods.h:25``).
+
+This tier is the intended algorithm, built TPU-first as the *black-box FMM*
+of Fong & Darve (J. Comp. Phys. 228, 2009): cells carry weights at tensor
+Chebyshev nodes instead of analytic multipole coefficients, which makes the
+method kernel-independent — it expands exactly the suite's force law
+K(x,y) = 1/|x−y| (with a = G·∇φ) in both 2D and 3D, so FMM forces converge
+to the brute-force oracle as the order n grows. All six phases map onto the
+hardware as dense batched matmuls:
+
+  P2M   anterpolate body masses onto leaf-cell Chebyshev nodes
+  M2M   child→parent interpolation operators (2^D static [n^D, n^D] mats)
+  M2L   per V-list offset: gather + [cells, n^D] @ K_offset — the MXU hot
+        phase, replacing the reference's per-node series loops
+        (``fmm_parlay.cpp:420-713``)
+  L2L   parent→child (transpose of M2M)
+  L2P   gradient of the Chebyshev interpolant at each body
+  P2P   leaf-neighborhood pairs (shared with the Barnes-Hut grid tier)
+
+Expansion order is a static shape parameter (fixing §8.3 by construction).
+V-lists reuse the grid tree's telescoping ring structure — per-level offsets
+with parity-dependent membership (a cell's V-set depends on its position
+within its parent), handled as static per-delta parity masks so every phase
+stays a fixed-shape array program.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_GRAVITY, GravityConfig
+from .grid_tree import (
+    GridTree,
+    _neighbor_offsets,
+    _point_mass_accel,
+    auto_leaf_level,
+    build_grid_tree,
+    cell_coords,
+    compute_capacity,
+)
+from .keys import morton_key_from_coords
+
+
+# --- Chebyshev machinery (static, numpy) -----------------------------------
+
+def cheb_nodes(n: int) -> np.ndarray:
+    """First-kind Chebyshev points in (-1, 1)."""
+    m = np.arange(n)
+    return np.cos((2 * m + 1) * np.pi / (2 * n))
+
+
+def _cheb_T(n: int, y: np.ndarray) -> np.ndarray:
+    """[T_0..T_{n-1}](y): shape (n, *y.shape)."""
+    T = [np.ones_like(y), y]
+    for k in range(2, n):
+        T.append(2 * y * T[-1] - T[-2])
+    return np.stack(T[:n])
+
+
+def s_matrix(n: int, y: np.ndarray) -> np.ndarray:
+    """Interpolation kernel S_n(t_m, y): shape (len(y), n) — row per y."""
+    t = cheb_nodes(n)
+    Tt = _cheb_T(n, t)  # (n, n)
+    Ty = _cheb_T(n, np.asarray(y))  # (n, len(y))
+    return (1.0 / n + (2.0 / n) * np.einsum("km,ky->ym", Tt[1:], Ty[1:]))
+
+
+def m2m_operators(dim: int, n: int) -> np.ndarray:
+    """[2^D, n^D, n^D]: child-octant weights → parent-node weights.
+
+    M2M_o[m, m'] = Π_d S_n(t_{m,d}, (t_{m',d} + 2 o_d − 1)/2).
+    """
+    t = cheb_nodes(n)
+    ops = []
+    for octant in itertools.product((0, 1), repeat=dim):
+        per_dim = []
+        for d in range(dim):
+            y = (t + 2 * octant[d] - 1) / 2.0  # child nodes in parent frame
+            per_dim.append(s_matrix(n, y).T)  # (n, n): [m, m']
+        op = per_dim[0]
+        for d in range(1, dim):
+            op = np.einsum("ab,cd->acbd", op, per_dim[d]).reshape(
+                op.shape[0] * n, op.shape[1] * n)
+        ops.append(op)
+    return np.stack(ops)  # [2^D, n^D, n^D]
+
+
+def _tensor_nodes(dim: int, n: int) -> np.ndarray:
+    """All n^D tensor-product node coordinates in [-1,1]^D (Morton-major)."""
+    t = cheb_nodes(n)
+    grids = np.meshgrid(*([t] * dim), indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=-1)  # [n^D, D]
+
+
+def _jnp_cheb_T_and_dT(n: int, y: jax.Array):
+    """T_k(y) and T'_k(y) for k<n via recurrence (traced; static k loop)."""
+    Ts = [jnp.ones_like(y), y]
+    dTs = [jnp.zeros_like(y), jnp.ones_like(y)]
+    for k in range(2, n):
+        Ts.append(2 * y * Ts[-1] - Ts[-2])
+        dTs.append(2 * Ts[k - 1] + 2 * y * dTs[-1] - dTs[-2])
+    return jnp.stack(Ts[:n], -1), jnp.stack(dTs[:n], -1)  # (..., n)
+
+
+def _interp_1d(n: int, y: jax.Array, Tt: jax.Array):
+    """S_n(t_m, y) for traced y: (..., n) over nodes m."""
+    Ty, _ = _jnp_cheb_T_and_dT(n, y)
+    return 1.0 / n + (2.0 / n) * jnp.einsum("...k,mk->...m",
+                                            Ty[..., 1:], Tt[:, 1:])
+
+
+def _interp_and_grad_1d(n: int, y: jax.Array, Tt: jax.Array):
+    Ty, dTy = _jnp_cheb_T_and_dT(n, y)
+    s = 1.0 / n + (2.0 / n) * jnp.einsum("...k,mk->...m",
+                                         Ty[..., 1:], Tt[:, 1:])
+    ds = (2.0 / n) * jnp.einsum("...k,mk->...m", dTy[..., 1:], Tt[:, 1:])
+    return s, ds
+
+
+def _v_list_deltas(dim: int, k: int):
+    """Static V-list offsets at one level with parity masks.
+
+    Returns list of (delta [D], parity_ok [D, 2] bool): cell c (parity q)
+    interacts with cell c+delta iff cheb(delta) > k and the parents'
+    offset floor((q+delta)/2) is within the parent near ring, per dim.
+    """
+    out = []
+    rng = range(-(2 * k + 1), 2 * k + 2)
+    for delta in itertools.product(rng, repeat=dim):
+        if max(abs(x) for x in delta) <= k:
+            continue  # near neighbor → P2P, not V-list
+        parity_ok = np.zeros((dim, 2), dtype=bool)
+        for d in range(dim):
+            for q in (0, 1):
+                # Parent offset along d for a cell with parity bit q.
+                parity_ok[d, q] = abs(math.floor((q + delta[d]) / 2)) <= k
+        # Keep the delta if some parity uses it (per-dim independence).
+        if all(parity_ok[d].any() for d in range(dim)):
+            out.append((np.array(delta, np.int32), parity_ok))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "ring", "softening", "leaf_batch",
+                     "shard_axis", "num_shards"))
+def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
+                     softening: float = 0.0,
+                     leaf_batch: int = 1024,
+                     shard_axis: Optional[str] = None,
+                     num_shards: int = 1) -> jax.Array:
+    """FMM accelerations for all sorted bodies (un-G-scaled): [N, D].
+
+    Multi-chip (``shard_axis`` set, called under ``shard_map``): P2M and the
+    final L2P/P2P are sharded by contiguous Morton leaf chunks; M2L — the
+    dominant phase — is sharded by cell rows per level; chunk results are
+    ``all_gather``-ed back to replicated level arrays (they're small), and
+    the per-chip partial forces are ``psum``-reduced. The up/down sweeps are
+    cheap and run replicated.
+    """
+    dim, L, C = tree.dim, tree.leaf_level, tree.capacity
+    n_cheb = order
+    nD = n_cheb ** dim
+    num_leaves = tree.num_leaf_cells
+    dtype = tree.pos_sorted.dtype
+    k = ring
+
+    nodes = jnp.asarray(_tensor_nodes(dim, n_cheb), dtype)  # [nD, D]
+    Tt = jnp.asarray(_cheb_T(n_cheb, cheb_nodes(n_cheb)).T, dtype)  # [n,k]
+    m2m = jnp.asarray(m2m_operators(dim, n_cheb), dtype)  # [2^D, nD, nD]
+    deltas = _v_list_deltas(dim, k)
+
+    leaf_size_phys = tree.cell_sizes[L]  # [D]
+    half_leaf = leaf_size_phys / 2
+
+    # Leaf cell centers for all dense leaves.
+    leaf_ids_all = jnp.arange(num_leaves, dtype=jnp.int32)
+    leaf_xy = cell_coords(leaf_ids_all.astype(jnp.uint32), dim)\
+        .astype(dtype)
+    leaf_centers = tree.lo + (leaf_xy + 0.5) * leaf_size_phys  # [M, D]
+
+    # ---- P2M: anterpolate body masses to leaf Chebyshev nodes ----------
+    # This shard's contiguous leaf chunk (whole range when unsharded).
+    my_leaves = num_leaves // num_shards
+    if shard_axis is not None:
+        chunk_start = (jax.lax.axis_index(shard_axis).astype(jnp.int32)
+                       * my_leaves)
+        leaf_ids_all = jax.lax.dynamic_slice_in_dim(
+            leaf_ids_all, chunk_start, my_leaves)
+        leaf_centers = jax.lax.dynamic_slice_in_dim(
+            leaf_centers, chunk_start, my_leaves)
+    leaf_batch_e = min(leaf_batch, my_leaves)
+    nb = my_leaves // leaf_batch_e
+
+    def p2m_batch(args):
+        ids_b, centers_b = args
+        slots = tree.slot_index[ids_b]  # [B, C]
+        valid = slots >= 0
+        slots_c = jnp.maximum(slots, 0)
+        pos = tree.pos_sorted[slots_c]  # [B, C, D]
+        mass = tree.mass_sorted[slots_c] * valid  # [B, C]
+        y = (pos - centers_b[:, None, :]) / half_leaf  # in [-1,1]^D
+        basis = None
+        for d in range(dim):
+            s_d = _interp_1d(n_cheb, y[..., d], Tt)  # [B, C, n]
+            basis = s_d if basis is None else (
+                basis[..., :, None] * s_d[..., None, :]).reshape(
+                    s_d.shape[:-1] + (-1,))
+        return jnp.einsum("bc,bcm->bm", mass, basis,
+                          precision=jax.lax.Precision.HIGHEST)  # [B, nD]
+
+    ids_b = leaf_ids_all.reshape(nb, leaf_batch_e)
+    cen_b = leaf_centers.reshape(nb, leaf_batch_e, dim)
+    W_leaf = jax.lax.map(p2m_batch, (ids_b, cen_b)).reshape(my_leaves, nD)
+    if shard_axis is not None:
+        W_leaf = jax.lax.all_gather(W_leaf, shard_axis, tiled=True)
+
+    # ---- M2M upward sweep ---------------------------------------------
+    W = {L: W_leaf}
+    for l in range(L - 1, 1, -1):
+        child = W[l + 1].reshape(-1, 2 ** dim, nD)  # [cells_l, 2^D, nD]
+        W[l] = jnp.einsum("pon,omn->pm", child, m2m,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # ---- M2L: V-list transfers (the MXU phase) -------------------------
+    # Stack all delta operators once at leaf scale; 1/r homogeneity gives
+    # every coarser level by a scalar (r_l = 2^(L-l)·r_L ⇒ K_l = K_L/2^(L-l)).
+    # A lax.scan over the delta axis keeps the traced graph small (one
+    # gather+matmul) instead of unrolling 40 (2D) / 316 (3D) matmuls per
+    # level — compile time through the remote-compile tunnel was minutes
+    # with the unrolled form.
+    ndeltas = len(deltas)
+    deltas_arr = jnp.asarray(np.stack([d for d, _ in deltas]))  # [nd, D]
+    parity_arr = jnp.asarray(
+        np.stack([p for _, p in deltas]))  # [nd, D, 2] bool
+    cs_leaf = tree.cell_sizes[L]
+    half_leaf_l = cs_leaf / 2
+    diff_all = (deltas_arr[:, None, None, :].astype(dtype) * cs_leaf
+                + nodes[None, None, :, :] * half_leaf_l
+                - nodes[None, :, None, :] * half_leaf_l)  # [nd, nD, nD, D]
+    K_leaf = 1.0 / jnp.sqrt(jnp.sum(diff_all * diff_all, axis=-1))
+
+    Lc = {}
+    for l in range(2, L + 1):
+        ncells = 1 << (dim * l)
+        side = 1 << l
+        scale_l = jnp.asarray(2.0 ** -(L - l), dtype)  # K_l = K_L·2^{-(L-l)}
+        cell_ids_l = jnp.arange(ncells, dtype=jnp.uint32)
+        # Shard M2L target rows by cell chunk when at least one cell per
+        # shard exists at this level; coarser levels run replicated.
+        sharded_l = shard_axis is not None and ncells >= num_shards
+        if sharded_l:
+            my_cells = ncells // num_shards
+            row_start = (jax.lax.axis_index(shard_axis).astype(jnp.int32)
+                         * my_cells)
+            cell_ids_l = jax.lax.dynamic_slice_in_dim(
+                cell_ids_l, row_start, my_cells)
+        xy = cell_coords(cell_ids_l, dim).astype(jnp.int32)  # [rows, D]
+        parity = (xy & 1)  # [rows, D]
+        w_l = W[l]
+
+        def m2l_step(acc_l, idx, xy=xy, parity=parity, w_l=w_l,
+                     side=side, scale_l=scale_l, l=l):
+            delta = deltas_arr[idx]  # [D]
+            K = K_leaf[idx] * scale_l  # [nD, nD]
+            ok = jnp.ones((xy.shape[0],), bool)
+            for d in range(dim):
+                ok = ok & parity_arr[idx, d][parity[:, d]]
+            src_xy = xy + delta[None, :]
+            inb = jnp.all((src_xy >= 0) & (src_xy < side), axis=-1)
+            ok = ok & inb
+            src_ids = morton_key_from_coords(
+                jnp.clip(src_xy, 0, side - 1).astype(jnp.uint32), l)\
+                .astype(jnp.int32)
+            w_src = w_l[src_ids] * ok[:, None]  # [ncells, nD]
+            return acc_l + jnp.dot(
+                w_src, K.T, preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST), None
+
+        acc0 = jnp.zeros((xy.shape[0], nD), dtype)
+        if sharded_l:
+            # The carry becomes device-varying (rows depend on axis_index);
+            # mark the init accordingly for shard_map's varying-axis typing.
+            acc0 = jax.lax.pvary(acc0, (shard_axis,))
+        acc_l, _ = jax.lax.scan(
+            m2l_step, acc0, jnp.arange(ndeltas, dtype=jnp.int32))
+        if sharded_l:
+            acc_l = jax.lax.all_gather(acc_l, shard_axis, tiled=True)
+        Lc[l] = acc_l
+
+    # ---- L2L downward sweep -------------------------------------------
+    for l in range(2, L):
+        down = jnp.einsum("pm,omn->pon", Lc[l], m2m,
+                          precision=jax.lax.Precision.HIGHEST)  # [cells_l, 2^D, nD]
+        Lc[l + 1] = Lc[l + 1] + down.reshape(-1, nD)
+
+    L_leaf = Lc[L] if L >= 2 else jnp.zeros((num_leaves, nD), dtype)
+
+    # ---- L2P (gradient of interpolant) + P2P near field ----------------
+    near_offs = jnp.asarray(_neighbor_offsets(dim, k))
+    nnear = near_offs.shape[0]
+    side_leaf = 1 << L
+
+    def eval_batch(args):
+        ids_b, centers_b = args
+        B = ids_b.shape[0]
+        slots = tree.slot_index[ids_b]
+        valid = slots >= 0
+        slots_c = jnp.maximum(slots, 0)
+        pos = tree.pos_sorted[slots_c]  # [B, C, D]
+        y = (pos - centers_b[:, None, :]) / half_leaf
+
+        s_all, ds_all = [], []
+        for d in range(dim):
+            s_d, ds_d = _interp_and_grad_1d(n_cheb, y[..., d], Tt)
+            s_all.append(s_d)
+            ds_all.append(ds_d)
+
+        lw = L_leaf[ids_b]  # [B, nD]
+        acc_cols = []
+        for d in range(dim):
+            basis = None
+            for d2 in range(dim):
+                f = ds_all[d2] if d2 == d else s_all[d2]
+                basis = f if basis is None else (
+                    basis[..., :, None] * f[..., None, :]).reshape(
+                        f.shape[:-1] + (-1,))
+            g = jnp.einsum("bcm,bm->bc", basis, lw,
+                           precision=jax.lax.Precision.HIGHEST) / half_leaf[d]
+            acc_cols.append(g)
+        acc_far = jnp.stack(acc_cols, axis=-1)  # [B, C, D]
+
+        # P2P over the leaf neighborhood (shared structure with BH grid).
+        leaf_xy_b = cell_coords(ids_b.astype(jnp.uint32), dim)\
+            .astype(jnp.int32)
+        nb_xy = leaf_xy_b[:, None, :] + near_offs[None, :, :]
+        nb_ok = jnp.all((nb_xy >= 0) & (nb_xy < side_leaf), axis=-1)
+        nb_ids = morton_key_from_coords(
+            jnp.clip(nb_xy, 0, side_leaf - 1).astype(jnp.uint32)
+            .reshape(-1, dim), L).astype(jnp.int32).reshape(B, -1)
+        nb_slots = tree.slot_index[nb_ids]
+        nb_valid = (nb_slots >= 0) & nb_ok[:, :, None]
+        nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)
+        spos = tree.pos_sorted[nb_slots_c]
+        smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
+        acc_near = _point_mass_accel(pos, spos, smass, softening)
+
+        return acc_far + acc_near, slots, valid
+
+    accs, slots, valids = jax.lax.map(eval_batch, (ids_b, cen_b))
+    acc_flat = accs.reshape(-1, dim)
+    slot_flat = slots.reshape(-1)
+    valid_flat = valids.reshape(-1)
+    out = jnp.zeros((tree.n, dim), dtype)
+    out = out.at[jnp.where(valid_flat, slot_flat, tree.n)].add(
+        acc_flat * valid_flat[:, None], mode="drop")
+    if shard_axis is not None:
+        out = jax.lax.psum(out, shard_axis)
+    return out
+
+
+def fmm_forces(
+    positions: jax.Array,
+    masses: jax.Array,
+    config: GravityConfig = DEFAULT_GRAVITY,
+    order: int = 5,
+    leaf_level: Optional[int] = None,
+    capacity: Optional[int] = None,
+    ring: int = 1,
+    leaf_batch: int = 1024,
+) -> jax.Array:
+    """Per-body forces via black-box FMM. API parity: fmm_*_n_body
+    (methods.h:66-82) with order as a static shape parameter (fixes §8.3).
+    """
+    n, dim = positions.shape
+    if leaf_level is None:
+        # FMM amortizes better with fuller leaves than BH.
+        leaf_level = auto_leaf_level(n, dim, target_occupancy=32)
+    if capacity is None:
+        capacity = compute_capacity(positions, leaf_level)
+    tree = build_grid_tree(positions, masses, leaf_level, capacity)
+    acc_sorted = fmm_accel_sorted(
+        tree, order=order, ring=ring,
+        softening=float(config.softening), leaf_batch=leaf_batch)
+    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+    g = jnp.asarray(config.G, positions.dtype)
+    return (g * masses)[:, None] * acc

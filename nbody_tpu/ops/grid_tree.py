@@ -232,15 +232,24 @@ def _point_mass_accel(targets, src_pos, src_mass, softening):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "softening", "leaf_batch"))
+    static_argnames=("k", "softening", "leaf_batch", "shard_axis",
+                     "num_shards"))
 def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            softening: float = 0.0,
-                           leaf_batch: int = 512) -> jax.Array:
+                           leaf_batch: int = 512,
+                           shard_axis: Optional[str] = None,
+                           num_shards: int = 1) -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
     Far field: per level 2..L, each leaf's ancestor interacts with its ≤
     (2k+1)^D·2^D-candidate V-list via monopole-at-COM. Near field: leaf P2P
     over the (2k+1)^D neighborhood. Batched over dense leaf cells.
+
+    Multi-chip: when called inside ``shard_map`` with ``shard_axis`` set,
+    each chip evaluates its contiguous chunk of dense leaf cells (a spatial
+    block, since leaves are Morton-ordered) against the replicated tree, and
+    the per-chip partial forces are ``psum``-reduced — the evaluation phase
+    is the O(N·(interaction list)) cost; the replicated build is O(N log N).
     """
     dim, L, C = tree.dim, tree.leaf_level, tree.capacity
     num_leaves = tree.num_leaf_cells
@@ -251,12 +260,19 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     cand_offs = jnp.asarray(cand_offs)
     near_offs = jnp.asarray(near_offs)
 
+    # Leaf chunk owned by this shard (whole range when unsharded). Shard
+    # counts are powers of two, as is num_leaves, so chunks divide evenly.
+    my_leaves = num_leaves // num_shards
     all_leaf_ids = jnp.arange(num_leaves, dtype=jnp.int32)
+    if shard_axis is not None:
+        start = jax.lax.axis_index(shard_axis).astype(jnp.int32) * my_leaves
+        all_leaf_ids = jax.lax.dynamic_slice_in_dim(
+            all_leaf_ids, start, my_leaves)
     # num_leaves = 2^(D·L) and leaf_batch is a power of two, so clamping
     # makes the batches divide evenly — padding would duplicate leaf 0 into
     # the scatter-add below.
-    leaf_batch = min(leaf_batch, num_leaves)
-    nb = num_leaves // leaf_batch
+    leaf_batch = min(leaf_batch, my_leaves)
+    nb = my_leaves // leaf_batch
 
     def one_batch(leaf_ids_b):
         """leaf_ids_b: [B] dense leaf cell ids."""
@@ -317,6 +333,8 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     out = jnp.zeros((tree.n, dim), tree.pos_sorted.dtype)
     out = out.at[jnp.where(valid_flat, slot_flat, tree.n)].add(
         acc_flat * valid_flat[:, None], mode="drop")
+    if shard_axis is not None:
+        out = jax.lax.psum(out, shard_axis)
     return out
 
 
