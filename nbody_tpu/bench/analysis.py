@@ -126,6 +126,48 @@ def maybe_plot(agg: Dict[Key, dict], results_dir: str):
         plt.close(fig)
 
 
+def speedup_heatmap(agg: Dict[Key, dict], results_dir: str,
+                    baseline_method: str = "BruteForce_JNP"):
+    """Method × N speedup heatmaps per dimension
+    (results/speedup_heatmap_{2D,3D}.png parity)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+    except ImportError:
+        return
+    rows = speedup_table(agg, baseline_method)
+    for dim in (2, 3):
+        sub = [r for r in rows if r["Dimension"] == dim]
+        if not sub:
+            continue
+        methods = sorted({r["Method"] for r in sub})
+        sizes = sorted({r["Bodies"] for r in sub})
+        grid = np.full((len(methods), len(sizes)), np.nan)
+        for r in sub:
+            grid[methods.index(r["Method"]), sizes.index(r["Bodies"])] = \
+                r["Speedup"]
+        fig, ax = plt.subplots(
+            figsize=(1.2 + 1.1 * len(sizes), 0.8 + 0.45 * len(methods)))
+        im = ax.imshow(np.log10(np.maximum(grid, 1e-3)), cmap="viridis",
+                       aspect="auto")
+        ax.set_xticks(range(len(sizes)), [f"{s:g}" for s in sizes])
+        ax.set_yticks(range(len(methods)), methods, fontsize=7)
+        for i in range(len(methods)):
+            for j in range(len(sizes)):
+                if np.isfinite(grid[i, j]):
+                    ax.text(j, i, f"{grid[i, j]:.1f}x", ha="center",
+                            va="center", fontsize=6, color="white")
+        ax.set_xlabel("N bodies")
+        ax.set_title(f"{dim}D speedup vs {baseline_method} (log color)")
+        fig.colorbar(im, ax=ax, label="log10 speedup")
+        fig.tight_layout()
+        fig.savefig(os.path.join(results_dir,
+                                 f"speedup_heatmap_{dim}D.png"), dpi=120)
+        plt.close(fig)
+
+
 def main(argv=None) -> int:
     results_dir = argv[0] if argv else "results"
     rows = load_results(results_dir)
@@ -140,6 +182,7 @@ def main(argv=None) -> int:
         print(f"  N={s['Bodies']:>9} {s['Dimension']}D "
               f"{s['Method']:<24} speedup {s['Speedup']:.2f}x")
     maybe_plot(agg, results_dir)
+    speedup_heatmap(agg, results_dir)
     return 0
 
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..config import DEFAULT_TREE, GravityConfig, TreeConfig
 from ..state import System
-from ..utils.accuracy import accuracy_percentage
+from ..utils.accuracy import accuracy_percentage, scale_normalized_error
 from .registry import Method, reference_method_for
 
 
@@ -48,13 +48,19 @@ class MethodResult:
     dim: int
     time_s: float  # −1.0 on failure (safely_execute parity)
     accuracy_pct: Optional[float] = None
+    norm_error: Optional[float] = None  # scale-normalized ‖ΔF‖ (extension)
     error: Optional[str] = None
 
     def csv_row(self, with_accuracy: bool) -> str:
+        """Reference schema (main.cpp:59-63) in the first 4-5 columns; the
+        NormError extension column carries the honest fp32-aware metric
+        (the 1%-per-component Accuracy(%) is harsh on near-zero components
+        — see utils/accuracy.py)."""
         base = f"{self.method},{self.n},{self.dim},{self.time_s:.6f}"
         if with_accuracy:
             acc = "" if self.accuracy_pct is None else f"{self.accuracy_pct:.2f}"
-            return f"{base},{acc}"
+            ne = "" if self.norm_error is None else f"{self.norm_error:.3e}"
+            return f"{base},{acc},{ne}"
         return base
 
 
@@ -142,7 +148,7 @@ def run_benchmark(
         log_file = open(base + ".out", "w")
         header = "Method,Bodies,Dimension,Time(s)"
         if compute_accuracy:
-            header += ",Accuracy(%)"
+            header += ",Accuracy(%),NormError"
         csv_file.write(header + "\n")
     log = Tee(log_file)
 
@@ -174,7 +180,10 @@ def run_benchmark(
             if compute_accuracy and reference_forces is not None:
                 res.accuracy_pct = float(accuracy_percentage(
                     forces, reference_forces))
-                log(f"{method.name} accuracy: {res.accuracy_pct:.2f}%")
+                res.norm_error = float(scale_normalized_error(
+                    forces, reference_forces))
+                log(f"{method.name} accuracy: {res.accuracy_pct:.2f}% "
+                    f"(norm err {res.norm_error:.3e})")
             print_validation_forces(forces, log)
         if csv_file is not None:
             csv_file.write(res.csv_row(compute_accuracy) + "\n")

@@ -32,15 +32,18 @@ class Method:
     tier: str  # 'a' | 'b' | 'h' | 'f'
     fn: MethodFn
     tpu_only: bool = False
+    multi_device_only: bool = False
 
 
 _REGISTRY: Dict[str, Method] = {}
 
 
-def register(name: str, tier: str, tpu_only: bool = False):
+def register(name: str, tier: str, tpu_only: bool = False,
+             multi_device_only: bool = False):
     def deco(fn: MethodFn) -> MethodFn:
         _REGISTRY[name] = Method(name=name, tier=tier, fn=fn,
-                                 tpu_only=tpu_only)
+                                 tpu_only=tpu_only,
+                                 multi_device_only=multi_device_only)
         return fn
     return deco
 
@@ -53,8 +56,10 @@ def methods_for_tiers(tiers: str, include_tpu_only: Optional[bool] = None):
     """All registered methods whose tier letter is in ``tiers`` (e.g. "abhf")."""
     if include_tpu_only is None:
         include_tpu_only = jax.default_backend() == "tpu"
+    multi = len(jax.devices()) > 1
     return [m for m in _REGISTRY.values()
-            if m.tier in tiers and (include_tpu_only or not m.tpu_only)]
+            if m.tier in tiers and (include_tpu_only or not m.tpu_only)
+            and (multi or not m.multi_device_only)]
 
 
 def all_methods():
@@ -81,7 +86,7 @@ def _bf_pallas_mxu(pos, mass, cfg, tree_cfg):
     return brute_force_pallas(pos, mass, cfg, mode="mxu")
 
 
-@register("BruteForce_Ring", "a")
+@register("BruteForce_Ring", "a", multi_device_only=True)
 def _bf_ring(pos, mass, cfg, tree_cfg):
     from ..parallel.ring import ring_brute_force
     return ring_brute_force(pos, mass, cfg)
@@ -101,13 +106,13 @@ def _bh_grid_05(pos, mass, cfg, tree_cfg):
     return barnes_hut_grid(pos, mass, cfg, theta=0.5)
 
 
-@register("BarnesHut_Sharded", "b")
+@register("BarnesHut_Sharded", "b", multi_device_only=True)
 def _bh_sharded(pos, mass, cfg, tree_cfg):
     from ..parallel.sharded_tree import barnes_hut_sharded
     return barnes_hut_sharded(pos, mass, cfg, theta=0.5)
 
 
-@register("FMM_Sharded", "f")
+@register("FMM_Sharded", "f", multi_device_only=True)
 def _fmm_sharded(pos, mass, cfg, tree_cfg):
     from ..parallel.sharded_tree import fmm_sharded
     return fmm_sharded(pos, mass, cfg, order=min(tree_cfg.order, 8))

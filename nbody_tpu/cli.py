@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results-dir", type=str, default="results")
     p.add_argument("--no-files", action="store_true",
                    help="don't write results/ files")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the resolved method list and exit")
     p.add_argument("--steps", type=int, default=0,
                    help="run a simulation loop for this many steps")
     p.add_argument("--dt", type=float, default=0.01)
@@ -78,11 +80,14 @@ def main(argv=None) -> int:
               f"backend ({jax.default_backend()}).", file=sys.stderr)
         return 2
 
-    system = random_system(jax.random.key(args.seed), args.bodies,
-                           dim=args.dim)
     print(f"nbody_tpu: N={args.bodies}, dim={args.dim}, backend="
           f"{jax.default_backend()}, methods="
           f"{[m.name for m in methods]}")
+    if args.dry_run:
+        return 0
+
+    system = random_system(jax.random.key(args.seed), args.bodies,
+                           dim=args.dim)
 
     results = run_benchmark(
         system, methods,

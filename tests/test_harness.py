@@ -83,11 +83,13 @@ def test_cli_bad_tier(capsys):
 
 
 def test_cli_brute_gate(capsys, monkeypatch):
-    # N > 1e6 with default tiers skips brute force; nothing else registered
-    # on CPU yet -> exits 2 with "no methods" (until tree tiers land).
-    rc = cli_main(["-N", "1000001", "--no-files"])
+    # N > 1e6 with default tiers skips brute force (main.cpp:24 parity);
+    # --dry-run stops before any force evaluation.
+    rc = cli_main(["-N", "1000001", "--no-files", "--dry-run"])
     out = capsys.readouterr()
+    assert rc == 0
     assert "skipping brute-force tier" in out.out
+    assert "BruteForce" not in out.out.split("methods=")[1]
 
 
 def test_analysis_roundtrip(rng_key, tmp_path):

@@ -46,7 +46,7 @@ def test_leapfrog_energy_conservation(rng_key):
                      + potential_energy(s.positions, s.masses, cfg))
 
     e0 = energy(sys)
-    final, _ = simulate(sys, fn, dt=1e-3, num_steps=200,
+    final, _ = simulate(sys, fn, dt=1e-3, num_steps=100,
                         integrator="leapfrog")
     e1 = energy(final)
     assert abs(e1 - e0) / abs(e0) < 1e-3

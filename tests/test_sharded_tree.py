@@ -11,7 +11,7 @@ from nbody_tpu.parallel.sharded_tree import barnes_hut_sharded
 
 
 def test_sharded_bh_matches_single_device(rng_key, dim):
-    sys = random_system(rng_key, 600, dim=dim, dtype=jnp.float64)
+    sys = random_system(rng_key, 400, dim=dim, dtype=jnp.float64)
     cfg = GravityConfig()
     single = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5)
     mesh = make_mesh()
@@ -51,7 +51,7 @@ def test_sharded_bh_two_device_mesh(rng_key):
 def test_sharded_fmm_matches_single_device(rng_key, dim):
     from nbody_tpu.ops.fmm import fmm_forces
     from nbody_tpu.parallel.sharded_tree import fmm_sharded
-    sys = random_system(rng_key, 600, dim=dim, dtype=jnp.float64)
+    sys = random_system(rng_key, 400, dim=dim, dtype=jnp.float64)
     cfg = GravityConfig()
     single = fmm_forces(sys.positions, sys.masses, cfg, order=4)
     sharded = fmm_sharded(sys.positions, sys.masses, cfg,
@@ -65,7 +65,7 @@ def test_sharded_fmm_gate(rng_key):
     from nbody_tpu.ops.brute_force import brute_force_direct
     from nbody_tpu.parallel.sharded_tree import fmm_sharded
     from nbody_tpu.utils.accuracy import scale_normalized_error
-    sys = random_system(rng_key, 1500, dim=2, dtype=jnp.float64)
+    sys = random_system(rng_key, 1000, dim=2, dtype=jnp.float64)
     cfg = GravityConfig()
     want = brute_force_direct(sys.positions, sys.masses, cfg)
     got = fmm_sharded(sys.positions, sys.masses, cfg, mesh=make_mesh(),
