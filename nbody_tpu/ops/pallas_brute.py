@@ -87,8 +87,17 @@ def _kernel(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2, mode):
         cols += [jnp.zeros_like(cols[0])] * (4 - dim)
         contrib = jnp.concatenate(cols, axis=1)  # (T, 4)
     else:  # "mxu"
-        a = jnp.dot(u3, src_m4_ref[:], preferred_element_type=jnp.float32)
-        contrib = a - pm_t * a[:, 3:4]
+        # Target-block centering: term1 − term2 = Σw(x_j−c) − (x_i−c)Σw for
+        # any c; c = the block's first target position roughly halves the
+        # cancellation scale (~5e-5 normalized vs ~1.6e-4 uncentered). The
+        # remaining floor is inherent to aggregate-then-correct reductions:
+        # the near tile's Σw is dominated by the closest pairs, and any
+        # monopole correction rounds at |c−x_i|·Σw scale. Use "precise"
+        # mode when ~1e-6 is required.
+        c = pm_t[0:1, :]  # (1, 4); column 3 is 0
+        s4c = src_m4_ref[:] - c * src_m4_ref[:, 3:4]
+        a = jnp.dot(u3, s4c, preferred_element_type=jnp.float32)
+        contrib = a - (pm_t - c) * a[:, 3:4]
 
     @pl.when(j == 0)
     def _():
@@ -177,18 +186,31 @@ def brute_force_pallas(
     positions: jax.Array,
     masses: jax.Array,
     config: GravityConfig = DEFAULT_GRAVITY,
-    block_t: int = 256,
-    block_s: int = 1024,
+    block_t: int = 512,
+    block_s: int = 2048,
     mode: str = "precise",
+    sort: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-body forces [N, D] via the tiled Pallas kernel (fp32).
 
-    ``interpret=True`` runs the same kernel through the Pallas interpreter —
-    the CPU-testable path (SURVEY.md §4's "fake backend" analog).
+    ``sort=True`` Morton-orders bodies first (O(N log N), negligible vs N²)
+    so target blocks are spatially compact — this is what makes ``mxu``
+    mode's block-centered reduction accurate. ``interpret=True`` runs the
+    same kernel through the Pallas interpreter — the CPU-testable path
+    (SURVEY.md §4's "fake backend" analog).
     """
     if mode not in ("precise", "mxu"):
         raise ValueError(f"mode must be 'precise' or 'mxu', got {mode!r}")
+    if sort:
+        from .keys import morton_key
+        order = jnp.argsort(morton_key(positions))
+        f_sorted = _forces_impl(
+            positions[order], masses[order],
+            G=float(config.G), softening=float(config.softening),
+            block_t=block_t, block_s=block_s, mode=mode,
+            interpret=interpret)
+        return jnp.zeros_like(f_sorted).at[order].set(f_sorted)
     return _forces_impl(
         positions, masses,
         G=float(config.G), softening=float(config.softening),

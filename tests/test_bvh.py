@@ -77,8 +77,11 @@ def test_bvh_converges_with_theta(rng_key):
     sys = random_system(rng_key, 200, dim=3, dtype=jnp.float64)
     cfg = GravityConfig()
     want = brute_force_direct(sys.positions, sys.masses, cfg)
+    # Small group size: with the dim-tuned default (256) a 200-body system
+    # is a single group and every theta degenerates to exact P2P.
     errs = [float(scale_normalized_error(
-        bvh_forces(sys.positions, sys.masses, cfg, theta=th, batch=128),
+        bvh_forces(sys.positions, sys.masses, cfg, theta=th, batch=128,
+                   group_size=8),
         want)) for th in (0.8, 0.4, 0.2)]
     assert errs[2] < errs[0], errs
     assert errs[2] < 5e-3

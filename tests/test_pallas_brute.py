@@ -72,3 +72,19 @@ def test_bad_mode_raises(rng_key):
     sys = random_system(rng_key, 64, dim=3)
     with pytest.raises(ValueError):
         brute_force_pallas(sys.positions, sys.masses, mode="fast")
+
+
+def test_mxu_centered_and_sorted(rng_key):
+    """Block-centered mxu reduction stays within its documented ~1e-4
+    envelope, with and without Morton pre-sorting."""
+    sys = random_system(rng_key, 512, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(
+        sys.positions.astype(jnp.float64),
+        sys.masses.astype(jnp.float64), cfg)
+    for sort in (False, True):
+        err = float(scale_normalized_error(
+            brute_force_pallas(sys.positions, sys.masses, cfg, block_t=64,
+                               block_s=128, mode="mxu", sort=sort,
+                               interpret=True), want))
+        assert err < 3e-4, (sort, err)
