@@ -182,6 +182,75 @@ def _forces_impl(positions, masses, *, G, softening, block_t, block_s, mode,
     return (g * masses)[:, None] * acc[:n, :dim]
 
 
+def pairwise_accel_pallas(
+    targets: jax.Array,
+    src_pos: jax.Array,
+    src_mass: jax.Array,
+    softening: float = 0.0,
+    block_t: int = 512,
+    block_s: int = 2048,
+    mode: str = "precise",
+    interpret: bool = False,
+) -> jax.Array:
+    """Rectangular tile: un-G-scaled accelerations on ``targets`` from all
+    sources, [T, D]. The per-chip engine for the multi-chip ppermute ring
+    (parallel/ring.py) — targets are the chip's resident shard, sources the
+    shard currently rotating past.
+    """
+    t, dim = targets.shape
+    s = src_pos.shape[0]
+    targets = targets.astype(jnp.float32)
+    src_pos = src_pos.astype(jnp.float32)
+    src_mass = src_mass.astype(jnp.float32)
+
+    block_t = min(block_t, max(8, t))
+    block_s = min(block_s, max(128, s))
+    t_pad = -(-t // block_t) * block_t
+    s_pad = -(-s // block_s) * block_s
+
+    pm = jnp.zeros((t_pad, 4), jnp.float32)
+    pm = pm.at[:t, :dim].set(targets)
+    pm = pm.at[t:, :dim].set(_PAD_POS)
+
+    src_t = jnp.zeros((8, s_pad), jnp.float32)
+    src_t = src_t.at[:dim, :s].set(src_pos.T)
+    src_t = src_t.at[:dim, s:].set(_PAD_POS)
+    src_t = src_t.at[3, :s].set(src_mass)
+
+    src_m4 = jnp.zeros((s_pad, 4), jnp.float32)
+    src_m4 = src_m4.at[:s, :dim].set(src_pos * src_mass[:, None])
+    src_m4 = src_m4.at[:s, 3].set(src_mass)
+
+    grid = (t_pad // block_t, s_pad // block_s)
+    kernel = functools.partial(
+        _kernel, dim=dim, soft2=float(softening) ** 2, mode=mode)
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_s), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(pm, src_t, src_m4)
+    return acc[:t, :dim]
+
+
+def pallas_local_accel(targets, src_pos, src_mass, softening):
+    """LocalAccelFn-shaped adapter for parallel/ring.py (TPU fast path)."""
+    return pairwise_accel_pallas(targets, src_pos, src_mass,
+                                 softening=float(softening))
+
+
 def brute_force_pallas(
     positions: jax.Array,
     masses: jax.Array,

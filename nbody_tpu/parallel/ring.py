@@ -57,17 +57,23 @@ def ring_brute_force(
     config: GravityConfig = DEFAULT_GRAVITY,
     mesh: Optional[Mesh] = None,
     axis_name: str = BODY_AXIS,
-    local_accel: LocalAccelFn = _accel_rows,
+    local_accel: Optional[LocalAccelFn] = None,
 ) -> jax.Array:
     """Per-body forces [N, D] computed over every device in ``mesh``.
 
-    ``local_accel`` is the pluggable per-chip tile engine: the default jnp
-    row path works on any backend; pass a Pallas rectangular kernel on TPU
-    (see ops/pallas_brute.py).
+    ``local_accel`` is the pluggable per-chip tile engine; by default the
+    Pallas rectangular kernel on TPU (ops/pallas_brute.py) and the jnp row
+    path elsewhere.
     """
     if mesh is None:
         from .mesh import make_mesh
         mesh = make_mesh(axis_name=axis_name)
+    if local_accel is None:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_brute import pallas_local_accel
+            local_accel = pallas_local_accel
+        else:
+            local_accel = _accel_rows
     num_shards = mesh.shape[axis_name]
     n, d = positions.shape
 
@@ -85,6 +91,9 @@ def ring_brute_force(
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name)),
         out_specs=P(axis_name, None),
+        # pallas_call outputs don't carry varying-mesh-axis metadata, so the
+        # vma check must be off for Pallas local engines.
+        check_vma=False,
     )
     def sharded(pos_l, mass_l):
         acc = _ring_local(

@@ -43,3 +43,20 @@ def test_ring_output_stays_sharded(rng_key):
     mesh = make_mesh()
     got = ring_brute_force(sys.positions, sys.masses, mesh=mesh)
     assert len(got.sharding.device_set) == 8
+
+
+def test_ring_with_pallas_local(rng_key):
+    """ppermute ring with the Pallas rectangular tile as the local engine
+    (interpret mode on the CPU mesh)."""
+    import functools
+    from nbody_tpu.ops.pallas_brute import pairwise_accel_pallas
+    sys = random_system(rng_key, 256, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    local = functools.partial(pairwise_accel_pallas, block_t=8,
+                              block_s=128, interpret=True)
+    got = ring_brute_force(
+        sys.positions, sys.masses, cfg, mesh=make_mesh(),
+        local_accel=lambda t, s, m, soft: local(t, s, m, softening=soft))
+    from nbody_tpu.utils.accuracy import scale_normalized_error
+    assert float(scale_normalized_error(got, want)) < 1e-4
