@@ -23,6 +23,7 @@ from .ops.brute_force import (
     kinetic_energy,
     potential_energy,
 )
+from .simulation import Simulation, available_methods
 from .utils.accuracy import (
     accuracy_percentage,
     max_relative_error,
