@@ -113,13 +113,13 @@ def auto_leaf_level(n: int, dim: int, target_occupancy: Optional[int] = None,
                     max_level: Optional[int] = None) -> int:
     """Leaf depth so cells average ~target_occupancy bodies (static choice).
 
-    Default occupancy is dimension-tuned from device measurements: 3D pays
-    (2k+1)³ = 27 neighbor gathers per leaf, so fuller leaves amortize far
-    better (N=1M 3D: occ 32 → 1.38 s vs occ 4 → 5.9 s on one v5e chip).
+    Default occupancy is dimension-tuned from device measurements on one
+    v5e chip: fuller leaves amortize the neighbor gathers (N=1M 3D: occ 32
+    → 1.38 s vs occ 4 → 5.9 s; N=1M 2D: occ 16 → 0.97 s vs occ 4 → 1.85 s).
     """
     import math
     if target_occupancy is None:
-        target_occupancy = 8 if dim == 2 else 32
+        target_occupancy = 16 if dim == 2 else 32
     level = max(1, math.ceil(math.log2(max(n, 2) / target_occupancy) / dim))
     cap = {2: 13, 3: 8}[dim]  # ≤ 2^26 / 2^24 dense leaf cells
     if max_level is not None:
