@@ -8,6 +8,27 @@ Newtonian gravity, Euler and leapfrog stepping, a cross-algorithm accuracy
 oracle, and a benchmark harness. See SURVEY.md for the reference layer map.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: first compiles of the deep tree programs
+# take minutes through this environment's remote-compile tunnel; the disk
+# cache turns every subsequent process's compile into a sub-second read.
+# Only set when the user hasn't configured one.
+if (not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        and not _jax.config.jax_compilation_cache_dir):
+    try:
+        _cache_dir = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "nbody_tpu_jax")
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
 from .config import (
     DEFAULT_GRAVITY,
     DEFAULT_TREE,
