@@ -15,9 +15,12 @@ import jax as _jax
 # Persistent compilation cache: first compiles of the deep tree programs
 # take minutes through this environment's remote-compile tunnel; the disk
 # cache turns every subsequent process's compile into a sub-second read.
-# Only set when the user hasn't configured one.
+# Only set when the user hasn't configured one, and only for the tunneled
+# TPU platform — caching CPU executables AOT-compiled by the remote server
+# risks machine-feature mismatches (SIGILL) on the local host.
 if (not _os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        and not _jax.config.jax_compilation_cache_dir):
+        and not _jax.config.jax_compilation_cache_dir
+        and "axon" in _os.environ.get("JAX_PLATFORMS", "")):
     try:
         _cache_dir = _os.path.join(
             _os.path.expanduser("~"), ".cache", "nbody_tpu_jax")

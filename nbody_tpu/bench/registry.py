@@ -120,6 +120,13 @@ def _fmm_sharded(pos, mass, cfg, tree_cfg):
 
 # --- Tier h: Hilbert BVH -----------------------------------------------------
 
+@register("BVH_Sharded", "h", multi_device_only=True)
+def _bvh_sharded(pos, mass, cfg, tree_cfg):
+    from ..parallel.sharded_tree import bvh_sharded
+    return bvh_sharded(pos, mass, cfg,
+                       leaf_size=tree_cfg.max_bodies_per_leaf)
+
+
 @register("BVH_Radix", "h")
 def _bvh_radix(pos, mass, cfg, tree_cfg):
     from ..ops.bvh import bvh_forces

@@ -194,11 +194,13 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "softening", "group_size",
-                     "batch", "max_steps"))
+                     "batch", "max_steps", "shard_axis", "num_shards"))
 def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      softening: float = 0.0, group_size: int = 64,
                      batch: int = 512,
-                     max_steps: int = 400_000) -> jax.Array:
+                     max_steps: int = 400_000,
+                     shard_axis: Optional[str] = None,
+                     num_shards: int = 1) -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
 
     Group traversal: one stackless walk per group of ``group_size``
@@ -289,14 +291,41 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
             return nxt, acc, steps + 1
 
         node0 = jnp.int32(0 if n > 1 else n - 1)
+        steps0 = jnp.int32(0)
+        if shard_axis is not None:
+            # Group data varies per shard, so the whole carry must be
+            # marked device-varying for shard_map's typing.
+            node0 = jax.lax.pvary(node0, (shard_axis,))
+            steps0 = jax.lax.pvary(steps0, (shard_axis,))
         _, acc, _ = jax.lax.while_loop(
-            cond, step,
-            (node0, jnp.zeros_like(pos_g), jnp.int32(0)))
+            cond, step, (node0, jnp.zeros_like(pos_g), steps0))
         return acc
 
-    batch = min(batch, ngroups)
-    nb = -(-ngroups // batch)
-    bpad = nb * batch - ngroups
+    # Multi-chip: each shard walks a contiguous slice of groups against the
+    # replicated tree; partial accelerations are psum-combined.
+    gp = -(-ngroups // num_shards)
+    ngroups_p = gp * num_shards
+    gpad = ngroups_p - ngroups
+
+    def padg(x):
+        if gpad == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((gpad,) + x.shape[1:], x.dtype)])
+
+    gpos, gcenter, gradius = padg(gpos), padg(gcenter), padg(gradius)
+    if shard_axis is not None:
+        start = jax.lax.axis_index(shard_axis).astype(jnp.int32) * gp
+        gpos = jax.lax.dynamic_slice_in_dim(gpos, start, gp)
+        gcenter = jax.lax.dynamic_slice_in_dim(gcenter, start, gp)
+        gradius = jax.lax.dynamic_slice_in_dim(gradius, start, gp)
+        my_groups = gp
+    else:
+        my_groups = ngroups_p
+
+    batch = min(batch, my_groups)
+    nb = -(-my_groups // batch)
+    bpad = nb * batch - my_groups
 
     def pad0(x):
         if bpad == 0:
@@ -309,8 +338,13 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     grad_b = pad0(gradius).reshape(nb, batch)
     acc = jax.lax.map(
         lambda a: jax.vmap(one_group)(a), (gpos_b, gcen_b, grad_b))
+    acc = acc.reshape(-1, dim)[:my_groups * G]
     del gmass
-    return acc.reshape(-1, dim)[:n]
+    if shard_axis is None:
+        return acc[:n]
+    full = jnp.zeros((ngroups_p * G, dim), acc.dtype)
+    full = jax.lax.dynamic_update_slice_in_dim(full, acc, start * G, axis=0)
+    return jax.lax.psum(full, shard_axis)[:n]
 
 
 def bvh_forces(

@@ -124,3 +124,46 @@ def fmm_sharded(
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc
+
+
+def bvh_sharded(
+    positions: jax.Array,
+    masses: jax.Array,
+    config: GravityConfig = DEFAULT_GRAVITY,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = BODY_AXIS,
+    leaf_size: int = 16,
+    theta: Optional[float] = None,
+    group_size: Optional[int] = None,
+) -> jax.Array:
+    """BVH forces [N, D]: group walks sharded over the mesh (replicated
+    radix tree, per-chip group slices, psum-combined partials)."""
+    from ..ops.bvh import build_bvh, bvh_accel_sorted
+    from ..ops.keys import MAX_BITS
+
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    num_shards = mesh.shape[axis_name]
+    n, dim = positions.shape
+    theta = config.theta if theta is None else theta
+    if group_size is None:
+        group_size = 128 if dim == 2 else 256
+    group_size = min(group_size, max(1, n))
+
+    tree = build_bvh(positions, masses, dim * MAX_BITS[dim])
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), tree),),
+        out_specs=P(),
+    )
+    def eval_sharded(tree_rep):
+        return bvh_accel_sorted(
+            tree_rep, leaf_size=leaf_size, theta=float(theta),
+            softening=float(config.softening), group_size=group_size,
+            shard_axis=axis_name, num_shards=num_shards)
+
+    acc_sorted = jax.jit(eval_sharded)(tree)
+    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+    g = jnp.asarray(config.G, positions.dtype)
+    return (g * masses)[:, None] * acc

@@ -71,3 +71,16 @@ def test_sharded_fmm_gate(rng_key):
     got = fmm_sharded(sys.positions, sys.masses, cfg, mesh=make_mesh(),
                       order=8)
     assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+def test_sharded_bvh_matches_single_device(rng_key):
+    from nbody_tpu.ops.bvh import bvh_forces
+    from nbody_tpu.parallel.sharded_tree import bvh_sharded
+    sys = random_system(rng_key, 500, dim=3, dtype=jnp.float64)
+    cfg = GravityConfig()
+    single = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                        group_size=16)
+    sharded = bvh_sharded(sys.positions, sys.masses, cfg, mesh=make_mesh(),
+                          theta=0.25, group_size=16)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-9)
