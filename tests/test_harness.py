@@ -115,3 +115,30 @@ def test_failed_rows_excluded(tmp_path):
                  "Good,10,2,0.5\n")
     rows = analysis.load_results(str(tmp_path))
     assert len(rows) == 1 and rows[0]["Method"] == "Good"
+
+
+def test_cli_steps_simulation(capsys):
+    rc = cli_main(["-d", "2", "-N", "32", "-m", "a", "--no-files",
+                   "--warmup", "0", "--steps", "3", "--dt", "0.01"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Simulating 3 leapfrog steps" in out
+    assert "final position of body 0:" in out
+
+
+def test_sweep_quick(tmp_path):
+    from nbody_tpu.bench.sweep import run_sweep
+    results = run_sweep(sizes=(64,), accuracy_sizes=(64,), dims=(2,),
+                        tiers="a", results_dir=str(tmp_path), warmup=0)
+    # 2 configs (acc off/on) x registered CPU brute methods.
+    assert results and all(r.time_s >= 0 for r in results)
+    assert list(tmp_path.glob("run_*_N_64_2D.csv"))
+
+
+def test_profiling_trace_noop_and_dir(tmp_path):
+    from nbody_tpu.utils.profiling import trace
+    with trace(None):
+        pass
+    with trace(str(tmp_path)):
+        import jax.numpy as jnp
+        float(jnp.sum(jnp.arange(8.0)))
