@@ -158,12 +158,13 @@ def _v_list_deltas(dim: int, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("order", "ring", "softening", "leaf_batch",
-                     "shard_axis", "num_shards"))
+                     "shard_axis", "num_shards", "_debug_skip"))
 def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
                      softening: float = 0.0,
                      leaf_batch: int = 1024,
                      shard_axis: Optional[str] = None,
-                     num_shards: int = 1) -> jax.Array:
+                     num_shards: int = 1,
+                     _debug_skip: str = "") -> jax.Array:
     """FMM accelerations for all sorted bodies (un-G-scaled): [N, D].
 
     Multi-chip (``shard_axis`` set, called under ``shard_map``): P2M and the
@@ -293,6 +294,9 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
                 precision=jax.lax.Precision.HIGHEST), None
 
         acc0 = jnp.zeros((xy.shape[0], nD), dtype)
+        if "m2l" in _debug_skip:
+            Lc[l] = acc0
+            continue
         if sharded_l:
             # The carry becomes device-varying (rows depend on axis_index);
             # mark the init accordingly for shard_map's varying-axis typing.
@@ -360,6 +364,10 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
         smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
         acc_near = _point_mass_accel(pos, spos, smass, softening)
 
+        if "p2p" in _debug_skip:
+            acc_near = jnp.zeros_like(acc_near)
+        if "l2p" in _debug_skip:
+            acc_far = jnp.zeros_like(acc_far)
         return acc_far + acc_near, slots, valid
 
     accs, slots, valids = jax.lax.map(eval_batch, (ids_b, cen_b))
