@@ -315,7 +315,68 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
 
     L_leaf = Lc[L] if L >= 2 else jnp.zeros((num_leaves, nD), dtype)
 
-    # ---- L2P (gradient of interpolant) + P2P near field ----------------
+    # ---- L2P: per-body, contiguous (no slot/capacity padding) ----------
+    # L2P is per-body independent, so it runs over contiguous sorted-body
+    # blocks instead of the capacity-padded slot layout — at N=4M 3D this
+    # phase dropped from ~5.5 s (slot form) to the cost of one [N, nD]
+    # gather plus dense per-body basis math.
+    def l2p_all():
+        body_leaf = tree.leaf_ids  # [N] sorted-body leaf ids
+        lw_body = L_leaf[body_leaf]  # [N, nD]
+        bxy = cell_coords(body_leaf.astype(jnp.uint32), dim).astype(dtype)
+        centers_body = tree.lo + (bxy + 0.5) * leaf_size_phys
+        y_body = (tree.pos_sorted - centers_body) / half_leaf  # [N, D]
+
+        n_bodies = tree.n
+        blk = 8192
+        nb_l2p = -(-n_bodies // blk)
+        pad = nb_l2p * blk - n_bodies
+
+        def padz(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+        y_b = padz(y_body).reshape(nb_l2p, blk, dim)
+        lw_b = padz(lw_body).reshape(nb_l2p, blk, nD)
+
+        def one_block(args):
+            y, lw = args  # [B, D], [B, nD]
+            s_all, ds_all = [], []
+            for d in range(dim):
+                s_d, ds_d = _interp_and_grad_1d(n_cheb, y[:, d], Tt)
+                s_all.append(s_d)
+                ds_all.append(ds_d)
+            cols = []
+            for d in range(dim):
+                basis = None
+                for d2 in range(dim):
+                    f = ds_all[d2] if d2 == d else s_all[d2]
+                    basis = f if basis is None else (
+                        basis[:, :, None] * f[:, None, :]).reshape(
+                            f.shape[0], -1)
+                g = jnp.einsum("bm,bm->b", basis, lw,
+                               precision=jax.lax.Precision.HIGHEST) \
+                    / half_leaf[d]
+                cols.append(g)
+            return jnp.stack(cols, axis=-1)  # [B, D]
+
+        acc = jax.lax.map(one_block, (y_b, lw_b)).reshape(-1, dim)
+        return acc[:n_bodies]
+
+    if "l2p" in _debug_skip:
+        acc_far_sorted = jnp.zeros((tree.n, dim), dtype)
+    else:
+        acc_far_sorted = l2p_all()
+    if shard_axis is not None:
+        # Only this shard's leaf-chunk bodies may contribute (the final
+        # psum sums shards): zero rows outside the chunk's body range.
+        in_chunk = (tree.leaf_ids >= leaf_ids_all[0]) & \
+                   (tree.leaf_ids <= leaf_ids_all[-1])
+        acc_far_sorted = acc_far_sorted * in_chunk[:, None]
+
+    # ---- P2P near field ------------------------------------------------
     near_offs = jnp.asarray(_neighbor_offsets(dim, k))
     nnear = near_offs.shape[0]
     side_leaf = 1 << L
@@ -327,27 +388,6 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
         valid = slots >= 0
         slots_c = jnp.maximum(slots, 0)
         pos = tree.pos_sorted[slots_c]  # [B, C, D]
-        y = (pos - centers_b[:, None, :]) / half_leaf
-
-        s_all, ds_all = [], []
-        for d in range(dim):
-            s_d, ds_d = _interp_and_grad_1d(n_cheb, y[..., d], Tt)
-            s_all.append(s_d)
-            ds_all.append(ds_d)
-
-        lw = L_leaf[ids_b]  # [B, nD]
-        acc_cols = []
-        for d in range(dim):
-            basis = None
-            for d2 in range(dim):
-                f = ds_all[d2] if d2 == d else s_all[d2]
-                basis = f if basis is None else (
-                    basis[..., :, None] * f[..., None, :]).reshape(
-                        f.shape[:-1] + (-1,))
-            g = jnp.einsum("bcm,bm->bc", basis, lw,
-                           precision=jax.lax.Precision.HIGHEST) / half_leaf[d]
-            acc_cols.append(g)
-        acc_far = jnp.stack(acc_cols, axis=-1)  # [B, C, D]
 
         # P2P over the leaf neighborhood (shared structure with BH grid).
         leaf_xy_b = cell_coords(ids_b.astype(jnp.uint32), dim)\
@@ -366,15 +406,13 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
 
         if "p2p" in _debug_skip:
             acc_near = jnp.zeros_like(acc_near)
-        if "l2p" in _debug_skip:
-            acc_far = jnp.zeros_like(acc_far)
-        return acc_far + acc_near, slots, valid
+        return acc_near, slots, valid
 
     accs, slots, valids = jax.lax.map(eval_batch, (ids_b, cen_b))
     acc_flat = accs.reshape(-1, dim)
     slot_flat = slots.reshape(-1)
     valid_flat = valids.reshape(-1)
-    out = jnp.zeros((tree.n, dim), dtype)
+    out = acc_far_sorted
     out = out.at[jnp.where(valid_flat, slot_flat, tree.n)].add(
         acc_flat * valid_flat[:, None], mode="drop")
     if shard_axis is not None:
