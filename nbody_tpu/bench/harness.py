@@ -21,7 +21,6 @@ import os
 import time
 from typing import List, Optional, Sequence, TextIO
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_TREE, GravityConfig, TreeConfig

@@ -19,7 +19,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 
-from ..config import DEFAULT_TREE, GravityConfig, TreeConfig
+from ..config import GravityConfig, TreeConfig
 
 # signature: (positions, masses, gravity_cfg, tree_cfg) -> forces [N, D]
 MethodFn = Callable[[jax.Array, jax.Array, GravityConfig, TreeConfig],

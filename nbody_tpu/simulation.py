@@ -19,7 +19,6 @@ import functools
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from .config import DEFAULT_GRAVITY, DEFAULT_TREE, GravityConfig, TreeConfig
 from .integrators import euler_step, leapfrog_step
