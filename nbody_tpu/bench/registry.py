@@ -80,12 +80,6 @@ def _bf_pallas(pos, mass, cfg, tree_cfg):
     return brute_force_pallas(pos, mass, cfg, mode="precise")
 
 
-@register("BruteForce_Pallas_MXU", "a", tpu_only=True)
-def _bf_pallas_mxu(pos, mass, cfg, tree_cfg):
-    from ..ops.pallas_brute import brute_force_pallas
-    return brute_force_pallas(pos, mass, cfg, mode="mxu")
-
-
 @register("BruteForce_Ring", "a", multi_device_only=True)
 def _bf_ring(pos, mass, cfg, tree_cfg):
     from ..parallel.ring import ring_brute_force

@@ -18,15 +18,15 @@ Two reduction strategies, selected by ``mode``:
   Σ_s w·(x_s − x_t) all on the VPU. Rounds at the scale of the *differences*,
   so fp32 error stays ~1e-6 relative even at the reference's coordinate
   magnitudes (~1e7).
-* ``"mxu"``: the O(T·S·D) reduction is a single MXU matmul of the (T,S)
-  weight tile against a premultiplied source matrix [m·x, m·y, m·z, m], via
-
-      Σ_j u³_ij m_j x_j − x_i Σ_j u³_ij m_j = (U @ S4)[:, :3] − x_i·(U @ S4)[:, 3]
-
-  ~40% fewer VPU ops, but the two matmul terms round at |x|·w scale while
-  their difference lives at d·w scale — ~1e-4 relative error on unsorted
-  inputs. Appropriate when bodies are Morton-sorted into spatially local
-  blocks (cancellation bounded by block extent), or when 1e-4 suffices.
+* ``"mxu"`` (experimental, not registered): the O(T·S·D) reduction as a
+  single MXU matmul of the (T,S) weight tile against a premultiplied source
+  matrix [m·x, m·y, m·z, m]. Measured verdict on v5e: the reduction is
+  cancellation-sensitive, so the matmul must run at full f32 precision
+  (``Precision.HIGHEST``; the bf16 default produces ~50× normalized error),
+  and the f32 MXU path is ~8× slower than bf16 — making this mode slower
+  than "precise" (9.1 s vs 4.9 s at N=1M) at worse accuracy (~1e-3 with
+  large blocks). Kept as a correct, documented experiment; revisit if a
+  future part offers fast f32 matmul or if bf16x3 decomposition is added.
 
 d² is always computed from per-dimension broadcast differences on the VPU:
 the |x|²+|y|²−2x·y matmul trick loses ~ε_f32·|x|² ≈ 3e7 *absolute* precision,
@@ -96,7 +96,10 @@ def _kernel(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2, mode):
         # mode when ~1e-6 is required.
         c = pm_t[0:1, :]  # (1, 4); column 3 is 0
         s4c = src_m4_ref[:] - c * src_m4_ref[:, 3:4]
-        a = jnp.dot(u3, s4c, preferred_element_type=jnp.float32)
+        # Full-f32 matmul: the TPU default (bf16 inputs) destroys the
+        # cancellation-sensitive reduction (~50x normalized error).
+        a = jnp.dot(u3, s4c, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         contrib = a - (pm_t - c) * a[:, 3:4]
 
     @pl.when(j == 0)
