@@ -1,0 +1,84 @@
+"""On-backend accuracy smoke test: every registered method vs the oracle.
+
+The CPU test suite runs Pallas in interpret mode and forced-f32 XLA, which
+can hide backend-specific numerics (e.g. the TPU bf16 default matmul
+precision that silently broke a kernel reduction). This script runs each
+registered method ON THE CURRENT BACKEND and gates its scale-normalized
+error against the blocked jnp oracle.
+
+Run (TPU):  python tools/tpu_smoke.py [-N 20000] [--dim 2]
+Exit code 1 if any method exceeds its error budget.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import nbody_tpu as nb
+from nbody_tpu.bench.registry import methods_for_tiers
+from nbody_tpu.config import DEFAULT_TREE
+from nbody_tpu.ops.brute_force import brute_force_blocked
+from nbody_tpu.utils.accuracy import scale_normalized_error
+
+# Method-class error budgets (scale-normalized, fp32, vs fp32 oracle).
+BUDGETS = {
+    "BruteForce": 1e-4,
+    "BarnesHut": 5e-2,   # theta=0.25/0.5 MAC error dominates
+    "BVH": 5e-2,
+    "FMM": 5e-3,         # order >= 5
+}
+
+
+def budget_for(name: str) -> float:
+    for prefix, b in BUDGETS.items():
+        if name.startswith(prefix):
+            return b
+    return 1e-2
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("-N", type=int, default=20000)
+    p.add_argument("--dim", type=int, default=2, choices=(2, 3))
+    args = p.parse_args()
+
+    cfg = nb.GravityConfig()
+    system = nb.random_system(jax.random.key(42), args.N, dim=args.dim,
+                              dtype=jnp.float32)
+    print(f"backend={jax.default_backend()} N={args.N} dim={args.dim}")
+    oracle = brute_force_blocked(system.positions, system.masses, cfg,
+                                 block_size=1024)
+    import numpy as np
+    oracle_h = np.asarray(oracle)
+
+    failed = []
+    for m in methods_for_tiers("abhf"):
+        try:
+            forces = np.asarray(
+                m.fn(system.positions, system.masses, cfg, DEFAULT_TREE))
+            err = float(scale_normalized_error(forces, oracle_h))
+        except Exception as e:  # noqa: BLE001
+            print(f"  {m.name:<28} ERROR {type(e).__name__}: {e}")
+            failed.append(m.name)
+            continue
+        b = budget_for(m.name)
+        ok = err <= b
+        print(f"  {m.name:<28} err={err:.3e}  budget={b:.0e}  "
+              f"{'OK' if ok else 'FAIL'}")
+        if not ok:
+            failed.append(m.name)
+
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        return 1
+    print("all methods within budget")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
