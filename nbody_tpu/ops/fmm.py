@@ -46,8 +46,9 @@ import numpy as np
 from ..config import DEFAULT_GRAVITY, GravityConfig
 from .grid_tree import (
     GridTree,
+    _near_field_accel,
     _neighbor_offsets,
-    _point_mass_accel,
+    _resolve_p2p_impl,
     auto_leaf_level,
     build_grid_tree,
     cell_coords,
@@ -158,12 +159,13 @@ def _v_list_deltas(dim: int, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("order", "ring", "softening", "leaf_batch",
-                     "shard_axis", "num_shards", "_debug_skip"))
+                     "shard_axis", "num_shards", "p2p_impl", "_debug_skip"))
 def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
                      softening: float = 0.0,
                      leaf_batch: int = 1024,
                      shard_axis: Optional[str] = None,
                      num_shards: int = 1,
+                     p2p_impl: str = "jnp",
                      _debug_skip: str = "") -> jax.Array:
     """FMM accelerations for all sorted bodies (un-G-scaled): [N, D].
 
@@ -402,7 +404,8 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
         nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)
         spos = tree.pos_sorted[nb_slots_c]
         smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
-        acc_near = _point_mass_accel(pos, spos, smass, softening)
+        acc_near = _near_field_accel(pos, spos, smass, softening,
+                                     p2p_impl)
 
         if "p2p" in _debug_skip:
             acc_near = jnp.zeros_like(acc_near)
@@ -429,6 +432,7 @@ def fmm_forces(
     capacity: Optional[int] = None,
     ring: int = 1,
     leaf_batch: int = 1024,
+    p2p_impl: str = "auto",
 ) -> jax.Array:
     """Per-body forces via black-box FMM. API parity: fmm_*_n_body
     (methods.h:66-82) with order as a static shape parameter (fixes §8.3).
@@ -439,10 +443,12 @@ def fmm_forces(
         leaf_level = auto_leaf_level(n, dim, target_occupancy=32)
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+    p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     tree = build_grid_tree(positions, masses, leaf_level, capacity)
     acc_sorted = fmm_accel_sorted(
         tree, order=order, ring=ring,
-        softening=float(config.softening), leaf_batch=leaf_batch)
+        softening=float(config.softening), leaf_batch=leaf_batch,
+        p2p_impl=p2p_impl)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc

@@ -217,6 +217,36 @@ def _neighbor_offsets(dim: int, k: int) -> np.ndarray:
                     np.int32)
 
 
+def _resolve_p2p_impl(p2p_impl, dtype):
+    """'auto' → jnp. The fused Pallas P2P (ops/pallas_p2p.py) measured
+    neutral-to-slower on v5e (small odd tiles, per-leaf loop): FMM 4M 3D
+    6.9 s vs 6.8 s jnp; BH 1M 2D 1.06 s vs 0.97 s. Kept as an explicit
+    option for experimentation; the real near-field win is the slot-free
+    contiguous redesign (ROADMAP item 2)."""
+    del dtype
+    if p2p_impl != "auto":
+        return p2p_impl
+    return "jnp"
+
+
+def _near_field_accel(tpos, spos, smass, softening, p2p_impl):
+    """Dispatch the leaf near field: jnp broadcasts or the fused Pallas
+    kernel (ops/pallas_p2p.py — avoids HBM-materialized [B,C,S] tiles)."""
+    if p2p_impl == "jnp":
+        return _point_mass_accel(tpos, spos, smass, softening)
+    from .pallas_p2p import p2p_leaf_pallas
+    B, C, D = tpos.shape
+    S = spos.shape[1]
+    t4 = jnp.zeros((B, C, 4), jnp.float32).at[..., :D].set(
+        tpos.astype(jnp.float32))
+    s8 = jnp.zeros((B, 8, S), jnp.float32).at[:, :D, :].set(
+        jnp.swapaxes(spos.astype(jnp.float32), 1, 2))
+    s8 = s8.at[:, 3, :].set(smass.astype(jnp.float32))
+    out = p2p_leaf_pallas(t4, s8, dim=D, softening=float(softening),
+                          interpret=(p2p_impl == "pallas_interpret"))
+    return out[..., :D].astype(tpos.dtype)
+
+
 def _point_mass_accel(targets, src_pos, src_mass, softening):
     """Σ_s m_s (x_s − x_t)/(r²+ε²)^{3/2} with the coincident-pair guard.
 
@@ -240,12 +270,13 @@ def _point_mass_accel(targets, src_pos, src_mass, softening):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "softening", "leaf_batch", "shard_axis",
-                     "num_shards"))
+                     "num_shards", "p2p_impl"))
 def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            softening: float = 0.0,
                            leaf_batch: int = 512,
                            shard_axis: Optional[str] = None,
-                           num_shards: int = 1) -> jax.Array:
+                           num_shards: int = 1,
+                           p2p_impl: str = "jnp") -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
     Far field: per level 2..L, each leaf's ancestor interacts with its ≤
@@ -325,7 +356,8 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)  # [B, nnear*C]
         spos = tree.pos_sorted[nb_slots_c]  # [B, nnear*C, D]
         smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
-        acc = acc + _point_mass_accel(tpos, spos, smass, softening)
+        acc = acc + _near_field_accel(tpos, spos, smass, softening,
+                                      p2p_impl)
 
         return acc, slots, valid_t
 
@@ -359,6 +391,7 @@ def barnes_hut_grid(
     leaf_level: Optional[int] = None,
     capacity: Optional[int] = None,
     leaf_batch: int = 512,
+    p2p_impl: str = "auto",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248)."""
     n, dim = positions.shape
@@ -368,10 +401,12 @@ def barnes_hut_grid(
         leaf_level = auto_leaf_level(n, dim)
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+    p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
 
     tree = build_grid_tree(positions, masses, leaf_level, capacity)
     acc_sorted = grid_tree_accel_sorted(
-        tree, k=k, softening=float(config.softening), leaf_batch=leaf_batch)
+        tree, k=k, softening=float(config.softening), leaf_batch=leaf_batch,
+        p2p_impl=p2p_impl)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc

@@ -90,3 +90,13 @@ def test_fmm_order8_hits_gate(rng_key):
                        leaf_batch=128)
     err = float(scale_normalized_error(got, want))
     assert err < 1e-4, f"order-8 gate failed: {err}"
+
+
+def test_fmm_p2p_pallas_matches_jnp(rng_key):
+    sys = random_system(rng_key, 600, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    a = F.fmm_forces(sys.positions, sys.masses, cfg, order=4,
+                     leaf_batch=64, p2p_impl="jnp")
+    b = F.fmm_forces(sys.positions, sys.masses, cfg, order=4,
+                     leaf_batch=64, p2p_impl="pallas_interpret")
+    assert float(scale_normalized_error(b, a)) < 1e-6

@@ -102,3 +102,16 @@ def test_bh_force_sign(rng_key):
     assert got[1, 0] < 0 or got[1, 0] > 0  # finite
     want = np.asarray(brute_force_direct(pos, mass, GravityConfig(G=1.0)))
     assert np.sign(got[0, 0]) == np.sign(want[0, 0])
+
+
+def test_p2p_pallas_matches_jnp(rng_key):
+    """Fused Pallas P2P (interpret) == jnp broadcast path."""
+    import jax.numpy as jnp
+    sys = random_system(rng_key, 500, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    jnp_f = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5,
+                            p2p_impl="jnp")
+    pal_f = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5,
+                            p2p_impl="pallas_interpret")
+    err = float(scale_normalized_error(pal_f, jnp_f))
+    assert err < 1e-6, err
