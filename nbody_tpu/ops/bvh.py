@@ -295,8 +295,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
         if shard_axis is not None:
             # Group data varies per shard, so the whole carry must be
             # marked device-varying for shard_map's typing.
-            node0 = jax.lax.pvary(node0, (shard_axis,))
-            steps0 = jax.lax.pvary(steps0, (shard_axis,))
+            node0 = jax.lax.pcast(node0, shard_axis, to="varying")
+            steps0 = jax.lax.pcast(steps0, shard_axis, to="varying")
         _, acc, _ = jax.lax.while_loop(
             cond, step, (node0, jnp.zeros_like(pos_g), steps0))
         return acc

@@ -302,7 +302,7 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
         if sharded_l:
             # The carry becomes device-varying (rows depend on axis_index);
             # mark the init accordingly for shard_map's varying-axis typing.
-            acc0 = jax.lax.pvary(acc0, (shard_axis,))
+            acc0 = jax.lax.pcast(acc0, shard_axis, to="varying")
         acc_l, _ = jax.lax.scan(
             m2l_step, acc0, jnp.arange(ndeltas, dtype=jnp.int32))
         if sharded_l:
