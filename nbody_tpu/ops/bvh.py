@@ -15,15 +15,25 @@ are internal (mass aggregated only from leaf children, ``bvh.cpp:221-222`` —
   order, duplicate keys broken by index bits.
 * **Node summaries without a bottom-up pass**: a Karras node covers a
   *contiguous* range [l, r] of sorted bodies, so node mass and COM are two
-  prefix-sum lookups; the node's spatial extent is bounded by the grid cell
-  its common key prefix denotes (a Hilbert prefix of 2·D·λ bits is one
-  level-λ cell), giving the MAC size without storing AABBs. Mass/COM are
-  exact per node — fixing §8.2 by construction.
-* **Stackless traversal**: escape ("rope") pointers computed by top-down
-  fixpoint iteration replace the recursion of ``bvh.cpp:144-249``; each body
-  walks the tree with O(1) state (vmapped ``while_loop``), accumulating COM
-  far-field when ``size/dist < θ`` (``bvh.cpp:205`` criterion) and direct
-  P2P over ≤leaf_size contiguous bodies otherwise.
+  prefix-sum lookups and the node's exact AABB is two sparse-table
+  range-min/max lookups (both O(N log N) dense builds). Mass/COM/extent are
+  exact per node — fixing §8.2 by construction. (Round 1 bounded the extent
+  by the Hilbert-prefix cell instead; ranges straddling high-level cell
+  boundaries got a near-domain-sized bound, failed the MAC everywhere, and
+  blew up traversal work — the exact AABB removes that.)
+* **Frontier-expansion traversal**: per group of contiguous Hilbert-sorted
+  bodies, the candidate nodes of one tree level are classified *together*
+  (MAC accept → inline monopole; ≤leaf_size bodies → near list; else expand
+  both children), finishing in O(depth) dense iterations — the "vectorized,
+  pointer-free frontier expansion" of the BASELINE north star, replacing
+  both the reference recursion (``bvh.cpp:144-249``) and round 1's serial
+  escape-pointer walk (gather-latency-bound: one node per step). Measured
+  TPU lowering facts that shape the implementation (tools note, v5e): row
+  gathers cost ~7-8 ns *per row* regardless of row width → all per-node
+  fields are packed into one f32 row table so the walk does ONE gather per
+  node; scatters are ~5× slower than sorts → compaction uses jnp.sort
+  (``_INVALID`` = int32 max sorts to the end); empty frontier chunks are
+  skipped with scalar ``lax.cond``.
 """
 
 from __future__ import annotations
@@ -58,10 +68,17 @@ class BVHTree:
     range_l: jax.Array  # [2N-1] first sorted body of node
     range_r: jax.Array  # [2N-1] last sorted body of node
     left: jax.Array  # [2N-1] left child (unified id; leaves: self)
-    escape: jax.Array  # [2N-1] next node when skipping this subtree
+    right: jax.Array  # [2N-1] right child (unified id; leaves: self)
     node_mass: jax.Array  # [2N-1]
     node_com: jax.Array  # [2N-1, D]
-    node_size: jax.Array  # [2N-1] spatial extent bound from key prefix
+    node_size: jax.Array  # [2N-1] exact AABB max extent
+
+    # Hot-path packed layouts (one row gather per node / per body — row
+    # gathers on this part cost per ROW, not per byte):
+    # node_table[v] = [l, r, left, right, size, mass, com...] as f32
+    # (indices < 2^24 are exact in f32; build asserts N <= 8M).
+    node_table: jax.Array  # [2N-1, 8 or 12]
+    body_table: jax.Array  # [N, 4] = [x, y, z|0, mass]
 
     @property
     def n(self) -> int:
@@ -143,18 +160,7 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     range_l = jnp.concatenate([lo, idx])
     range_r = jnp.concatenate([hi, idx])
     left = jnp.concatenate([left_child, leaf_ids])
-
-    # Node size bound from the common key prefix: a prefix of dim·λ key bits
-    # pins a level-λ grid cell of extent max_side / 2^λ.
-    mins = jnp.min(pos_s, axis=0)
-    maxs = jnp.max(pos_s, axis=0)
-    max_side = jnp.max((maxs - mins) * 1.01) + 1e-30
-    prefix_internal = delta_node  # common prefix bits of the node's range
-    prefix = jnp.concatenate(
-        [jnp.minimum(prefix_internal, key_bits),
-         jnp.full((n,), key_bits, jnp.int32)])
-    lam = prefix // dim
-    node_size = max_side / (2.0 ** lam.astype(pos_s.dtype))
+    right_all = jnp.concatenate([right_child, leaf_ids])
 
     # Mass / COM per node from prefix sums over the contiguous range.
     zero = jnp.zeros((1,), pos_s.dtype)
@@ -165,58 +171,123 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     node_mx = cmpos[range_r + 1] - cmpos[range_l]
     node_com = node_mx / jnp.maximum(node_mass, 1e-30)[:, None]
 
-    # Parents (scatter), then escape pointers by top-down fixpoint.
-    parent = jnp.full((num_nodes,), -1, jnp.int32)
-    parent = parent.at[left_child].set(i)
-    parent = parent.at[right_child].set(i)
-    right = jnp.concatenate([right_child, leaf_ids])
-    is_left = jnp.zeros((num_nodes,), bool).at[left_child].set(True)
-    sibling = jnp.where(is_left, right[jnp.maximum(parent, 0)], _INVALID)
+    # Exact per-node AABB extent via a sparse range-min/max table: any
+    # contiguous range [l, r] is the union of the two (possibly overlapping)
+    # aligned windows of width 2^k at l and r+1-2^k, k = floor(log2(count)).
+    K = max(1, math.ceil(math.log2(max(n, 2)))) + 1
+    mns, mxs = [pos_s], [pos_s]
+    big = jnp.asarray(jnp.finfo(pos_s.dtype).max, pos_s.dtype)
+    for kk in range(1, K):
+        sh = 1 << (kk - 1)
+        prev_mn, prev_mx = mns[-1], mxs[-1]
+        pad_mn = jnp.full((sh, dim), big, pos_s.dtype)
+        mns.append(jnp.minimum(
+            prev_mn, jnp.concatenate([prev_mn[sh:], pad_mn])))
+        mxs.append(jnp.maximum(
+            prev_mx, jnp.concatenate([prev_mx[sh:], -pad_mn])))
+    mn_tab = jnp.stack(mns)  # [K, N, D]
+    mx_tab = jnp.stack(mxs)
+    count_all = range_r - range_l + 1
+    klog = jnp.floor(
+        jnp.log2(count_all.astype(jnp.float32)) + 1e-6).astype(jnp.int32)
+    klog = jnp.clip(klog, 0, K - 1)
+    hi_start = range_r + 1 - (1 << klog)
+    flat_mn = mn_tab.reshape(K * n, dim)
+    flat_mx = mx_tab.reshape(K * n, dim)
+    aabb_min = jnp.minimum(flat_mn[klog * n + range_l],
+                           flat_mn[klog * n + hi_start])
+    aabb_max = jnp.maximum(flat_mx[klog * n + range_l],
+                           flat_mx[klog * n + hi_start])
+    node_size = jnp.max(aabb_max - aabb_min, axis=-1)  # [2N-1]
 
-    escape = jnp.full((num_nodes,), _INVALID, jnp.int32)
+    # Packed hot-path tables (see BVHTree docstring). The table dtype
+    # follows the input so f64 oracle runs stay exact; in f32, node ids up
+    # to 2^24 round-trip exactly (asserted).
+    tdt = pos_s.dtype
+    assert tdt != jnp.float32 or n <= (1 << 23), \
+        "f32-packed node indices require N <= 8M"
+    width = 8 if dim == 2 else 12
+    node_table = jnp.zeros((num_nodes, width), tdt)
+    node_table = node_table.at[:, 0].set(range_l.astype(tdt))
+    node_table = node_table.at[:, 1].set(range_r.astype(tdt))
+    node_table = node_table.at[:, 2].set(left.astype(tdt))
+    node_table = node_table.at[:, 3].set(right_all.astype(tdt))
+    node_table = node_table.at[:, 4].set(node_size.astype(tdt))
+    node_table = node_table.at[:, 5].set(node_mass.astype(tdt))
+    node_table = node_table.at[:, 6:6 + dim].set(node_com.astype(tdt))
 
-    def esc_step(_, esc):
-        parent_esc = jnp.where(parent >= 0, esc[jnp.maximum(parent, 0)],
-                               _INVALID)
-        return jnp.where(is_left, sibling, parent_esc)
-
-    # Depth ≤ key bits + index tiebreak bits; iterate to fixpoint.
-    escape = jax.lax.fori_loop(0, key_bits + steps + 2, esc_step, escape)
+    body_table = jnp.zeros((n, 4), tdt)
+    body_table = body_table.at[:, :dim].set(pos_s)
+    body_table = body_table.at[:, 3].set(mass_s)
 
     return BVHTree(
         key_bits=key_bits,
         order=order, pos_sorted=pos_s, mass_sorted=mass_s,
-        range_l=range_l, range_r=range_r, left=left, escape=escape,
+        range_l=range_l, range_r=range_r, left=left, right=right_all,
         node_mass=node_mass, node_com=node_com, node_size=node_size,
+        node_table=node_table, body_table=body_table,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "theta", "softening", "group_size",
-                     "batch", "max_steps", "shard_axis", "num_shards"))
+                     "batch", "frontier_width", "near_cap", "shard_axis",
+                     "num_shards", "return_stats"))
 def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      softening: float = 0.0, group_size: int = 64,
-                     batch: int = 512,
-                     max_steps: int = 400_000,
+                     batch: int = 128,
+                     frontier_width: Optional[int] = None,
+                     near_cap: Optional[int] = None,
                      shard_axis: Optional[str] = None,
-                     num_shards: int = 1) -> jax.Array:
+                     num_shards: int = 1,
+                     return_stats: bool = False) -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
 
-    Group traversal: one stackless walk per group of ``group_size``
-    contiguous Hilbert-sorted bodies (spatially compact by construction),
-    with a bounding-sphere group MAC — ``node_size < θ·(dist − r_group)``
-    accepts the node for the *whole group*, whose bodies then evaluate the
-    COM force from their exact positions. This amortizes the tree walk and
-    its gathers across the group and turns every step into dense
-    (group_size × leaf_size) VPU work — the TPU replacement for the
-    reference's per-body recursion + ``omp parallel for``
-    (``methods.cpp:396-399``). A per-body walk (group_size=1) is the same
-    code path.
+    Level-synchronous frontier-expansion traversal (the "vectorized,
+    pointer-free frontier expansion" of the BASELINE.json north star),
+    replacing the round-1 serial escape-pointer walk that was gather-
+    latency-bound (one node per step, ~10⁴–10⁵ serial steps per group —
+    0.17× the reference CPU at 1e5 3D):
+
+    * Each *group* of ``group_size`` contiguous Hilbert-sorted bodies
+      (spatially compact by construction) maintains a frontier of up to
+      ``frontier_width`` candidate nodes. One iteration classifies the
+      whole frontier at once — dense [batch, W] gathers and VPU math
+      instead of per-node pointer chasing — so the walk finishes in
+      O(tree depth) ≈ 30–50 iterations:
+        - group MAC ``node_size < θ·(dist − r_group)`` (``bvh.cpp:205``
+          criterion, conservatively shrunk by the group radius) → monopole
+          force from each member's exact position, evaluated inline;
+        - nodes with ≤ ``leaf_size`` bodies → appended to the group's
+          near-interaction list;
+        - everything else → expanded into both children (prefix-sum
+          compaction, no sorting).
+    * Pass 2 evaluates the near lists as dense (bodies × contiguous body
+      windows) P2P tiles — the role of the reference's per-leaf direct
+      loop (``bvh.cpp:150-177``).
+
+    Capacity overflow (frontier or near list) is NOT silently truncated
+    (the round-1 ``max_steps`` cap was): affected groups' accelerations
+    are poisoned with NaN, which the NaN-strict accuracy oracle and any
+    downstream consumer will see immediately.
     """
     n = tree.n
     dim = tree.pos_sorted.shape[-1]
-    soft2 = jnp.asarray(softening, tree.pos_sorted.dtype) ** 2
+    dtype = tree.pos_sorted.dtype
+    soft2 = jnp.asarray(softening, dtype) ** 2
+    # Capacity defaults, measured at N=1e5 θ=0.25 uniform (group sizes
+    # 128/256): max frontier 326 (2D) / ~3600 (3D); max near list 316 (2D)
+    # / ~300 (3D, MAC-passing leafish served far). Headroom ~3×; clustered
+    # inputs that exceed these poison with NaN → raise the caps.
+    if frontier_width is None:
+        frontier_width = min(1024 if dim == 2 else 8192, 2 * n)
+    if near_cap is None:
+        near_cap = min(1024 if dim == 2 else 8192, 2 * n)
+    W, NL = frontier_width, near_cap
+    S = leaf_size
+    # Depth bound: key bits + index-tiebreak bits (duplicate keys).
+    max_depth = tree.key_bits + max(1, math.ceil(math.log2(max(n, 2)))) + 2
 
     G = group_size
     ngroups = -(-n // G)
@@ -227,78 +298,187 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
         [tree.pos_sorted,
          jnp.broadcast_to(tree.pos_sorted[-1], (pad, dim))]) \
         if pad else tree.pos_sorted
-    mass_pad = jnp.concatenate(
-        [tree.mass_sorted, jnp.zeros((pad,), tree.mass_sorted.dtype)]) \
-        if pad else tree.mass_sorted
     gpos = pos_pad.reshape(ngroups, G, dim)
-    gmass = mass_pad.reshape(ngroups, G)
     gmin = jnp.min(gpos, axis=1)
     gmax = jnp.max(gpos, axis=1)
     gcenter = 0.5 * (gmin + gmax)
     gradius = 0.5 * jnp.linalg.norm(gmax - gmin, axis=-1)
 
-    def one_group(args):
-        pos_g, center_g, radius_g = args  # [G, D], [D], []
+    root = jnp.int32(0 if n > 1 else n - 1)
+
+    Wc = min(W, 256)  # frontier chunk (empty chunks cond-skipped)
+    W = -(-W // Wc) * Wc  # round capacity up to whole chunks
+    nWc = W // Wc
+    table = tree.node_table
+
+    def one_batch(args):
+        pos_g, center_g, radius_g = args  # [B, G, D], [B, D], [B]
+        B = pos_g.shape[0]
+        rows = jnp.arange(B, dtype=jnp.int32)
 
         def cond(state):
-            node, acc, steps = state
-            return (node != _INVALID) & (steps < max_steps)
+            it, f = state[0], state[1]
+            # Frontier is sort-compacted: empty iff column 0 is all-INVALID.
+            return (it < max_depth) & jnp.any(f[:, 0] != _INVALID)
+
+        def proc_chunk(c, carry):
+            f, acc, kids_buf, leaf_buf = carry
+            fch = jax.lax.dynamic_slice_in_dim(f, c * Wc, Wc, axis=1)
+
+            def do(_):
+                valid = fch != _INVALID
+                fc = jnp.where(valid, fch, 0)
+                nt = table[fc]  # [B, Wc, width] — the ONE row gather
+                l = nt[..., 0]
+                r = nt[..., 1]
+                lkid = nt[..., 2]
+                rkid = nt[..., 3]
+                size = nt[..., 4]
+                nmass = nt[..., 5]
+                com = nt[..., 6:6 + dim]
+                leafish = (r - l + 1 <= S) & valid
+
+                cdiff = com - center_g[:, None, :]
+                cdist = jnp.sqrt(jnp.sum(cdiff * cdiff, axis=-1))
+                # Group MAC (bvh.cpp:205 criterion, shrunk by the group
+                # radius so it holds for every member body). MAC-passing
+                # leafish nodes are served by the monopole too — only
+                # nearby leafish nodes go to the near list.
+                mac_ok = (size < theta * (cdist - radius_g[:, None])) \
+                    & valid
+                near_take = leafish & ~mac_ok
+                expand = valid & ~leafish & ~mac_ok
+
+                # Far field, inline: monopole at each member's position.
+                fd2 = None
+                fdiffs = []
+                for d in range(dim):
+                    fd = com[:, None, :, d] - pos_g[:, :, None, d]
+                    fdiffs.append(fd)  # [B, G, Wc]
+                    fd2 = fd * fd if fd2 is None else fd2 + fd * fd
+                finv = jax.lax.rsqrt(fd2 + soft2)
+                fw = jnp.where(mac_ok[:, None, :],
+                               nmass[:, None, :] * (finv * finv * finv),
+                               0.0)
+                acc2 = acc + jnp.stack(
+                    [jnp.sum(fw * fdiffs[d], axis=-1) for d in range(dim)],
+                    axis=-1)
+
+                # Stage children / near nodes into per-chunk slots of the
+                # iteration buffers (compacted once per iteration below).
+                kids_c = jnp.concatenate(
+                    [jnp.where(expand, lkid.astype(jnp.int32), _INVALID),
+                     jnp.where(expand, rkid.astype(jnp.int32), _INVALID)],
+                    axis=1)  # [B, 2Wc]
+                kids2 = jax.lax.dynamic_update_slice(
+                    kids_buf, kids_c, (0, 2 * c * Wc))
+                leaf_c = jnp.where(near_take, fch, _INVALID)
+                leaf2 = jax.lax.dynamic_update_slice(
+                    leaf_buf, leaf_c, (0, c * Wc))
+                return acc2, kids2, leaf2
+
+            def skip(_):
+                return acc, kids_buf, leaf_buf
+
+            # Compacted frontier ⇒ chunk empty iff its first column is
+            # (scalar cond: real runtime branch, gathers skipped).
+            acc2, kids2, leaf2 = jax.lax.cond(
+                jnp.any(fch[:, 0] != _INVALID), do, skip, None)
+            return f, acc2, kids2, leaf2
 
         def step(state):
-            node, acc, steps = state
-            l = tree.range_l[node]
-            r = tree.range_r[node]
-            count = r - l + 1
-            is_leafish = count <= leaf_size
+            it, f, acc, near_ids, near_cnt, overflow, maxw = state
+            kids_buf = jnp.full((B, 2 * W), _INVALID, jnp.int32)
+            leaf_buf = jnp.full((B, W), _INVALID, jnp.int32)
+            if shard_axis is not None:
+                # Both buffers receive shard-varying data inside a lax.cond
+                # branch; the skip branch must carry the same varying type.
+                kids_buf = jax.lax.pcast(kids_buf, shard_axis, to="varying")
+                leaf_buf = jax.lax.pcast(leaf_buf, shard_axis, to="varying")
+            _, acc, kids_buf, leaf_buf = jax.lax.fori_loop(
+                0, nWc, proc_chunk, (f, acc, kids_buf, leaf_buf))
 
-            com = tree.node_com[node]
-            nmass = tree.node_mass[node]
-            cdiff = com - center_g
-            cdist = jnp.sqrt(jnp.sum(cdiff * cdiff))
-            # Group MAC (bvh.cpp:205 criterion, conservatively shrunk by
-            # the group radius so it holds for every member body).
-            mac_ok = (tree.node_size[node]
-                      < theta * (cdist - radius_g)) & (~is_leafish)
+            # Sort-based compaction (scatters measured ~5× slower than
+            # sorts on this part): _INVALID = int32 max sorts to the end.
+            newf = jnp.sort(kids_buf, axis=1)[:, :W]
+            nkids = jnp.sum(kids_buf != _INVALID, axis=1, dtype=jnp.int32)
+            overflow = overflow | (nkids > W)
+            maxw = jnp.maximum(maxw, nkids)
 
-            # Far field: COM force at each member's exact position.
-            fdiff = com[None, :] - pos_g  # [G, D]
-            fd2 = jnp.sum(fdiff * fdiff, axis=-1)
-            finv = jax.lax.rsqrt(fd2 + soft2)
-            fw = nmass * (finv * finv * finv)
-            far = jnp.where(mac_ok, fw, 0.0)[:, None] * fdiff
+            # Merge new near nodes into the (unordered) near bag.
+            merged = jnp.sort(
+                jnp.concatenate([near_ids, leaf_buf], axis=1), axis=1)
+            near_ids = merged[:, :NL]
+            near_cnt = near_cnt + jnp.sum(
+                leaf_buf != _INVALID, axis=1, dtype=jnp.int32)
+            overflow = overflow | (near_cnt > NL)
 
-            # Near field: window l..l+leaf_size (masked beyond r).
-            start = jnp.minimum(l, n - leaf_size)
-            win = jax.lax.dynamic_slice_in_dim(
-                tree.pos_sorted, start, leaf_size)
-            wmass = jax.lax.dynamic_slice_in_dim(
-                tree.mass_sorted, start, leaf_size)
-            offs = jnp.arange(leaf_size, dtype=jnp.int32) + start
-            in_range = (offs >= l) & (offs <= r)
-            wdiff = win[None, :, :] - pos_g[:, None, :]  # [G, S, D]
-            wd2 = jnp.sum(wdiff * wdiff, axis=-1)
-            winv = jax.lax.rsqrt(wd2 + soft2)
-            ww = wmass[None, :] * (winv * winv * winv)
-            ww = jnp.where((wd2 < _DIST2_GUARD) | ~in_range[None, :],
-                           0.0, ww)
-            near = jnp.where(is_leafish,
-                             jnp.sum(ww[:, :, None] * wdiff, axis=1),
-                             jnp.zeros_like(pos_g))
+            return it + 1, newf, acc, near_ids, near_cnt, overflow, maxw
 
-            acc = acc + far + near
-            nxt = jnp.where(is_leafish | mac_ok,
-                            tree.escape[node], tree.left[node])
-            return nxt, acc, steps + 1
-
-        node0 = jnp.int32(0 if n > 1 else n - 1)
-        steps0 = jnp.int32(0)
+        f0 = jnp.broadcast_to(
+            jnp.where(jnp.arange(W) == 0, root, _INVALID).astype(jnp.int32),
+            (B, W))
+        acc0 = jnp.zeros_like(pos_g)
+        near0 = jnp.full((B, NL), _INVALID, jnp.int32)
+        cnt0 = jnp.zeros((B,), jnp.int32)
+        of0 = jnp.zeros((B,), bool)
+        maxw0 = jnp.zeros((B,), jnp.int32)
+        it0 = jnp.int32(0)
         if shard_axis is not None:
-            # Group data varies per shard, so the whole carry must be
-            # marked device-varying for shard_map's typing.
-            node0 = jax.lax.pcast(node0, shard_axis, to="varying")
-            steps0 = jax.lax.pcast(steps0, shard_axis, to="varying")
-        _, acc, _ = jax.lax.while_loop(
-            cond, step, (node0, jnp.zeros_like(pos_g), steps0))
+            # Carries derive from per-shard group data; mark the constant
+            # inits device-varying for shard_map's typing.
+            f0, near0, cnt0, of0, maxw0, it0 = (
+                jax.lax.pcast(x, shard_axis, to="varying")
+                for x in (f0, near0, cnt0, of0, maxw0, it0))
+        _, _, acc, near_ids, near_cnt, overflow, maxw = jax.lax.while_loop(
+            cond, step, (it0, f0, acc0, near0, cnt0, of0, maxw0))
+
+        # ---- Pass 2: dense near-field evaluation over contiguous windows.
+        # near_ids is sort-compacted, so empty chunks are cond-skipped.
+        nl_chunk = min(NL, max(1, 2048 // S))
+        nchunks = -(-NL // nl_chunk)
+        arangeS = jnp.arange(S, dtype=jnp.int32)
+
+        def near_chunk(c, acc):
+            ids_c = jax.lax.dynamic_slice_in_dim(
+                near_ids, c * nl_chunk, nl_chunk, axis=1)  # [B, NLc]
+
+            def do(acc):
+                nvalid = ids_c != _INVALID
+                idc = jnp.where(nvalid, ids_c, 0)
+                nt = table[idc]  # [B, NLc, width]
+                l = nt[..., 0].astype(jnp.int32)
+                r = nt[..., 1].astype(jnp.int32)
+                start = jnp.minimum(l, n - S)
+                idx = start[:, :, None] + arangeS  # [B, NLc, S]
+                in_rng = (idx >= l[:, :, None]) & (idx <= r[:, :, None]) \
+                    & nvalid[:, :, None]
+                bt = tree.body_table[idx]  # [B, NLc, S, 4] — one gather
+                spos = bt[..., :dim].reshape(B, -1, dim)
+                smass = (bt[..., 3] * in_rng).reshape(B, -1)
+                d2 = None
+                diffs = []
+                for d in range(dim):
+                    dd = spos[:, None, :, d] - pos_g[:, :, None, d]
+                    diffs.append(dd)  # [B, G, NLc*S]
+                    d2 = dd * dd if d2 is None else d2 + dd * dd
+                inv = jax.lax.rsqrt(d2 + soft2)
+                ww = smass[:, None, :] * (inv * inv * inv)
+                ww = jnp.where(d2 < _DIST2_GUARD, 0.0, ww)
+                return acc + jnp.stack(
+                    [jnp.sum(ww * diffs[d], axis=-1) for d in range(dim)],
+                    axis=-1)
+
+            return jax.lax.cond(
+                jnp.any(ids_c[:, 0] != _INVALID), do, lambda a: a, acc)
+
+        acc = jax.lax.fori_loop(0, nchunks, near_chunk, acc)
+
+        # Explicit overflow signal: poison affected groups with NaN.
+        acc = jnp.where(overflow[:, None, None],
+                        jnp.asarray(jnp.nan, acc.dtype), acc)
+        if return_stats:
+            return acc, maxw, near_cnt
         return acc
 
     # Multi-chip: each shard walks a contiguous slice of groups against the
@@ -336,15 +516,20 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     gpos_b = pad0(gpos).reshape(nb, batch, G, dim)
     gcen_b = pad0(gcenter).reshape(nb, batch, dim)
     grad_b = pad0(gradius).reshape(nb, batch)
-    acc = jax.lax.map(
-        lambda a: jax.vmap(one_group)(a), (gpos_b, gcen_b, grad_b))
+    out = jax.lax.map(one_batch, (gpos_b, gcen_b, grad_b))
+    if return_stats:
+        acc, maxw, ncnt = out
+        stats = (jnp.max(maxw), jnp.max(ncnt))
+    else:
+        acc = out
     acc = acc.reshape(-1, dim)[:my_groups * G]
-    del gmass
     if shard_axis is None:
-        return acc[:n]
+        res = acc[:n]
+        return (res, *stats) if return_stats else res
     full = jnp.zeros((ngroups_p * G, dim), acc.dtype)
     full = jax.lax.dynamic_update_slice_in_dim(full, acc, start * G, axis=0)
-    return jax.lax.psum(full, shard_axis)[:n]
+    res = jax.lax.psum(full, shard_axis)[:n]
+    return (res, *stats) if return_stats else res
 
 
 def bvh_forces(
@@ -354,15 +539,15 @@ def bvh_forces(
     leaf_size: int = 16,
     theta: Optional[float] = None,
     group_size: Optional[int] = None,
-    batch: int = 512,
+    batch: int = 128,
 ) -> jax.Array:
     """Per-body forces via the Hilbert radix BVH (parity: bvh_*_n_body,
     methods.cpp:377-423, with max_bodies_per_leaf=16 default methods.h:57)."""
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     if group_size is None:
-        # Larger groups amortize the gather-bound walk; 3D visits ~theta^-3
-        # nodes per walk so it benefits most (1e5 3D: 35 s @64 -> 10 s @256).
+        # Larger groups amortize the frontier walk across more bodies;
+        # 3D frontiers are ~theta^-3 wide so they benefit most.
         group_size = 128 if dim == 2 else 256
     key_bits = dim * MAX_BITS[dim]
     tree = build_bvh(positions, masses, key_bits)

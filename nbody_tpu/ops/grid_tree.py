@@ -100,6 +100,12 @@ class GridTree:
     # Leaf occupancy: slot -> sorted-body index (-1 = empty).
     slot_index: jax.Array  # [num_leaf_cells, capacity]
 
+    # Contiguous-run layout (bodies are Morton-sorted, so every leaf cell is
+    # one contiguous run of sorted bodies): run start / length per dense
+    # leaf cell. The slot-free near field (P2P) is built on these.
+    cell_start: jax.Array  # [num_leaf_cells] first sorted-body index
+    cell_count: jax.Array  # [num_leaf_cells] bodies in the cell
+
     @property
     def n(self) -> int:
         return self.pos_sorted.shape[0]
@@ -192,6 +198,7 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
         pos_sorted=pos_s, mass_sorted=mass_s,
         level_mass=tuple(level_mass), level_com=tuple(level_com),
         slot_index=slot_index,
+        cell_start=starts, cell_count=counts,
     )
 
 
@@ -270,13 +277,14 @@ def _point_mass_accel(targets, src_pos, src_mass, softening):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "softening", "leaf_batch", "shard_axis",
-                     "num_shards", "p2p_impl"))
+                     "num_shards", "p2p_impl", "_debug_skip"))
 def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            softening: float = 0.0,
                            leaf_batch: int = 512,
                            shard_axis: Optional[str] = None,
                            num_shards: int = 1,
-                           p2p_impl: str = "jnp") -> jax.Array:
+                           p2p_impl: str = "jnp",
+                           _debug_skip: str = "") -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
     Far field: per level 2..L, each leaf's ancestor interacts with its ≤
@@ -323,7 +331,8 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         acc = jnp.zeros((B, C, dim), tree.pos_sorted.dtype)
 
         # --- Far field: V-list per level -------------------------------
-        for l in range(2, L + 1):
+        far_levels = () if "far" in _debug_skip else range(2, L + 1)
+        for l in far_levels:
             anc = (leaf_ids_b >> (dim * (L - l))).astype(jnp.uint32)
             anc_xy = cell_coords(anc, dim).astype(jnp.int32)  # [B, D]
             parent_xy = anc_xy >> 1
@@ -344,20 +353,22 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
             acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
 
         # --- Near field: leaf P2P over the (2k+1)^D neighborhood -------
-        leaf_xy = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)\
-            .astype(jnp.int32)  # [B, D]
-        nb_xy = leaf_xy[:, None, :] + near_offs[None, :, :]  # [B, nnear, D]
-        nb_ok = jnp.all((nb_xy >= 0) & (nb_xy < (1 << side_bits)), axis=-1)
-        nb_ids = morton_key_from_coords(
-            jnp.clip(nb_xy, 0, (1 << side_bits) - 1).astype(jnp.uint32)
-            .reshape(-1, dim), side_bits).astype(jnp.int32).reshape(B, -1)
-        nb_slots = tree.slot_index[nb_ids]  # [B, nnear, C]
-        nb_valid = (nb_slots >= 0) & nb_ok[:, :, None]
-        nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)  # [B, nnear*C]
-        spos = tree.pos_sorted[nb_slots_c]  # [B, nnear*C, D]
-        smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
-        acc = acc + _near_field_accel(tpos, spos, smass, softening,
-                                      p2p_impl)
+        if "near" not in _debug_skip:
+            leaf_xy = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)\
+                .astype(jnp.int32)  # [B, D]
+            nb_xy = leaf_xy[:, None, :] + near_offs[None, :, :]
+            nb_ok = jnp.all((nb_xy >= 0) & (nb_xy < (1 << side_bits)),
+                            axis=-1)
+            nb_ids = morton_key_from_coords(
+                jnp.clip(nb_xy, 0, (1 << side_bits) - 1).astype(jnp.uint32)
+                .reshape(-1, dim), side_bits).astype(jnp.int32).reshape(B, -1)
+            nb_slots = tree.slot_index[nb_ids]  # [B, nnear, C]
+            nb_valid = (nb_slots >= 0) & nb_ok[:, :, None]
+            nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)
+            spos = tree.pos_sorted[nb_slots_c]  # [B, nnear*C, D]
+            smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
+            acc = acc + _near_field_accel(tpos, spos, smass, softening,
+                                          p2p_impl)
 
         return acc, slots, valid_t
 

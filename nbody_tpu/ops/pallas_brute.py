@@ -3,10 +3,17 @@
 TPU-native re-design of the reference CUDA kernel (``main_cuda.cu:24-57``,
 GPU Gems 3 ch. 31 pattern: one thread per body, source bodies streamed
 tile-by-tile through ``__shared__`` memory). Here the analogous structure is a
-2-D Pallas grid over (target_block, source_block): the target block and its
-force accumulator stay resident in VMEM while source blocks stream through,
-exactly like the CUDA shared-memory tile loop but with 256×1024-pair tiles
-instead of 256 threads.
+2-D Pallas grid over (target_block, source_window): the target block and its
+force accumulator stay resident in VMEM while source windows stream through,
+exactly like the CUDA shared-memory tile loop but with (256 × 16384)-pair
+windows (processed in 2048-lane sub-tiles) instead of 256 threads. Measured
+at N=1M 2D on one v5e chip: 5.02 s (round-1 config, guarded (512, 2048))
+→ 4.48 s (guard fold) → 4.20 s (16K source windows; fewer grid programs) —
+~262 Gpair/s, ≈14.7 VPU-op slots/pair against the microbenchmarked ~3.9
+Tops/s ILP peak (tools/vpu_microbench.py), i.e. within ~35% of the exact
+all-pairs speed-of-light for this part. bf16 can't help: the v5e backend
+has no bf16 rsqrt (compiler abort) and coordinates at ~1e7 don't survive
+bf16 rounding.
 
 Math (attractive convention, Plummer softening — see ops/brute_force.py):
 
@@ -32,10 +39,19 @@ d² is always computed from per-dimension broadcast differences on the VPU:
 the |x|²+|y|²−2x·y matmul trick loses ~ε_f32·|x|² ≈ 3e7 *absolute* precision,
 destroying near-pair forces entirely.
 
-Self/coincident pairs cancel analytically in both formulations (x_j−x_i=0)
-but must still be masked: the softened self-weight m_i·ε^{-3} ≈ 1e26 would
-absorb every real term in the fp32 accumulator. The mask doubles as the
-reference's dist² < 1e-10 pair-skip guard (``methods.cpp:24``).
+Pair-guard policy (measured ~8% of kernel time in the round-1 ablation):
+the reference skips pairs with dist² < 1e-10 (``methods.cpp:24``). In
+"precise" mode with softening > 0 the guard is *provably unnecessary* for
+self-pairs: w = m·(d²+ε²)^{-3/2} is finite (ε² > 0) and is multiplied by the
+exact-zero difference x_i − x_i, so the contribution is exactly 0.0 — the
+huge softened self-weight never reaches the accumulator. Nearly-coincident
+*distinct* bodies (0 < d < 1e-5) then feel the softened (regularized) force
+instead of being skipped, which is better physics and irrelevant for the
+reference's distributions (min pair gaps ≫ 1e-5). The guard therefore
+defaults to on only when softening == 0 (where rsqrt(0)=inf would give
+inf·0=NaN) and can be forced with ``guard=True`` for strict reference
+semantics. "mxu" mode always guards (the u³ matrix enters a matmul without
+the cancelling zero difference).
 """
 
 from __future__ import annotations
@@ -53,54 +69,53 @@ from .brute_force import _DIST2_GUARD
 _PAD_POS = 2.0e9  # Padding bodies live far away with zero mass.
 
 
-def _kernel(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2, mode):
-    """One (target_block × source_block) tile of pairwise forces.
+def _kernel_precise(pm_t_ref, src_t_ref, out_ref, *, dim, soft2, guard,
+                    s_sub):
+    """One (target_block × source_window) tile of pairwise forces (VPU path).
 
     Refs:
       pm_t_ref:  (T, 4) target positions, columns [x, y, z|0, 0].
       src_t_ref: (8, S) transposed sources, rows 0..dim-1 = coords, row 3 = m.
-      src_m4_ref:(S, 4) premultiplied sources [m·x, m·y, m·z|0, m] (mxu mode).
       out_ref:   (T, 4) accumulated accelerations (un-scaled by G·m_i).
+
+    The source window S is processed in unrolled sub-tiles of ``s_sub``
+    lanes: the (T, s_sub) elementwise temporaries bound VMEM pressure while
+    the window keeps the grid small (measured: grid-program overhead at
+    1M×1M / (512×2048) tiles ≈ 1M programs was a visible fraction of the
+    kernel; (1024, 4096)+ single tiles fail to compile with VMEM overflow).
     """
     j = pl.program_id(1)
     pm_t = pm_t_ref[:]  # (T, 4)
+    s_win = src_t_ref.shape[1]
+    assert s_win % s_sub == 0
 
-    # d² via per-dimension broadcast differences (VPU). Tiles kept live for
-    # the precise reduction below.
-    diffs = []
-    d2 = None
-    for d in range(dim):
-        diff = src_t_ref[d:d + 1, :] - pm_t[:, d:d + 1]  # (T, S)
-        diffs.append(diff)
-        d2 = diff * diff if d2 is None else d2 + diff * diff
+    cols_acc = None
+    for u0 in range(0, s_win, s_sub):
+        # d² via per-dimension broadcast differences (VPU). Sub-tiles kept
+        # live for the precise reduction below. soft2 folded into the first
+        # square so the whole chain is subs + FMAs.
+        diffs = []
+        d2 = jnp.float32(soft2)
+        for d in range(dim):
+            diff = src_t_ref[d:d + 1, u0:u0 + s_sub] - pm_t[:, d:d + 1]
+            diffs.append(diff)  # (T, s_sub)
+            d2 = diff * diff + d2
 
-    u = jax.lax.rsqrt(d2 + soft2)
-    u3 = u * u * u
-    # Mandatory: self/coincident mask (reference guard methods.cpp:24; also
-    # prevents softened self-terms from poisoning the fp32 accumulator).
-    u3 = jnp.where(d2 < _DIST2_GUARD, 0.0, u3)
+        u = jax.lax.rsqrt(d2)
+        u3 = u * u * u
+        if guard:
+            # Reference pair-skip guard methods.cpp:24 — required when ε=0
+            # (rsqrt(0)=inf → inf·0=NaN below); see module docstring.
+            u3 = jnp.where(d2 - soft2 < _DIST2_GUARD, 0.0, u3)
 
-    if mode == "precise":
-        w = u3 * src_t_ref[3:4, :]  # × m_s
+        w = u3 * src_t_ref[3:4, u0:u0 + s_sub]  # × m_s
         cols = [jnp.sum(w * diffs[d], axis=1, keepdims=True)
                 for d in range(dim)]
-        cols += [jnp.zeros_like(cols[0])] * (4 - dim)
-        contrib = jnp.concatenate(cols, axis=1)  # (T, 4)
-    else:  # "mxu"
-        # Target-block centering: term1 − term2 = Σw(x_j−c) − (x_i−c)Σw for
-        # any c; c = the block's first target position roughly halves the
-        # cancellation scale (~5e-5 normalized vs ~1.6e-4 uncentered). The
-        # remaining floor is inherent to aggregate-then-correct reductions:
-        # the near tile's Σw is dominated by the closest pairs, and any
-        # monopole correction rounds at |c−x_i|·Σw scale. Use "precise"
-        # mode when ~1e-6 is required.
-        c = pm_t[0:1, :]  # (1, 4); column 3 is 0
-        s4c = src_m4_ref[:] - c * src_m4_ref[:, 3:4]
-        # Full-f32 matmul: the TPU default (bf16 inputs) destroys the
-        # cancellation-sensitive reduction (~50x normalized error).
-        a = jnp.dot(u3, s4c, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        contrib = a - (pm_t - c) * a[:, 3:4]
+        cols_acc = cols if cols_acc is None else [
+            a + c for a, c in zip(cols_acc, cols)]
+
+    cols_acc += [jnp.zeros_like(cols_acc[0])] * (4 - dim)
+    contrib = jnp.concatenate(cols_acc, axis=1)  # (T, 4)
 
     @pl.when(j == 0)
     def _():
@@ -111,45 +126,133 @@ def _kernel(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2, mode):
         out_ref[:] = out_ref[:] + contrib
 
 
-def _pallas_accel(
-    pm, src_t, src_m4, *, dim, softening, block_t, block_s, mode, interpret):
-    n_pad = pm.shape[0]
-    grid = (n_pad // block_t, n_pad // block_s)
-    kernel = functools.partial(
-        _kernel, dim=dim, soft2=float(softening) ** 2, mode=mode)
-    flops_per_pair = 2 * dim + 6 + (3 * dim if mode == "precise" else 16)
+def _kernel_mxu(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2):
+    """MXU-reduction variant (experimental; see module docstring).
+
+    Extra ref: src_m4_ref (S, 4) premultiplied sources [m·x, m·y, m·z|0, m].
+    """
+    j = pl.program_id(1)
+    pm_t = pm_t_ref[:]  # (T, 4)
+
+    d2 = None
+    for d in range(dim):
+        diff = src_t_ref[d:d + 1, :] - pm_t[:, d:d + 1]  # (T, S)
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+
+    u = jax.lax.rsqrt(d2 + soft2)
+    u3 = u * u * u
+    # Mandatory here: the guard keeps the huge softened self-weight out of
+    # the matmul reduction (no cancelling zero difference in this form).
+    u3 = jnp.where(d2 < _DIST2_GUARD, 0.0, u3)
+
+    # Target-block centering: term1 − term2 = Σw(x_j−c) − (x_i−c)Σw for
+    # any c; c = the block's first target position roughly halves the
+    # cancellation scale (~5e-5 normalized vs ~1.6e-4 uncentered). The
+    # remaining floor is inherent to aggregate-then-correct reductions:
+    # the near tile's Σw is dominated by the closest pairs, and any
+    # monopole correction rounds at |c−x_i|·Σw scale. Use "precise"
+    # mode when ~1e-6 is required.
+    c = pm_t[0:1, :]  # (1, 4); column 3 is 0
+    s4c = src_m4_ref[:] - c * src_m4_ref[:, 3:4]
+    # Full-f32 matmul: the TPU default (bf16 inputs) destroys the
+    # cancellation-sensitive reduction (~50x normalized error).
+    a = jnp.dot(u3, s4c, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    contrib = a - (pm_t - c) * a[:, 3:4]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+def _tile_call(pm, src_t, src_m4, *, dim, softening, block_t, block_s, mode,
+               guard, interpret, s_sub=2048):
+    """Shared pallas_call builder for a rectangular (targets × sources) tile.
+
+    ``src_m4`` is consumed (and DMA'd) only in mxu mode — the precise path
+    takes just the (T,4) targets and (8,S) transposed sources. ``block_s``
+    is the per-program source *window*; the precise kernel iterates it in
+    ``s_sub``-lane sub-tiles (VMEM-bounded temporaries).
+    """
+    t_pad = pm.shape[0]
+    s_pad = src_t.shape[1]
+    grid = (t_pad // block_t, s_pad // block_s)
+    soft2 = float(softening) ** 2
+    in_specs = [
+        pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, block_s), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    if mode == "precise":
+        kernel = functools.partial(
+            _kernel_precise, dim=dim, soft2=soft2, guard=guard,
+            s_sub=min(s_sub, block_s))
+        operands = (pm, src_t)
+        flops_per_pair = 2 * dim + 6 + 3 * dim
+    else:
+        kernel = functools.partial(_kernel_mxu, dim=dim, soft2=soft2)
+        in_specs.append(
+            pl.BlockSpec((block_s, 4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM))
+        operands = (pm, src_t, src_m4)
+        flops_per_pair = 2 * dim + 6 + 16
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_s), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_s, 4), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * n_pad * n_pad,
-            bytes_accessed=n_pad * (4 + 8 + 4 + 4) * 4,
-            transcendentals=n_pad * n_pad,
+            flops=flops_per_pair * t_pad * s_pad,
+            bytes_accessed=(t_pad + s_pad) * 16 + t_pad * 16,
+            transcendentals=t_pad * s_pad,
         ),
         interpret=interpret,
-    )(pm, src_t, src_m4)
+    )(*operands)
+
+
+def _prep_layout(positions, masses, dim, n, t_pad, s_pad, mode):
+    """Build the kernel input layouts from [N,D] positions / [N] masses.
+
+    pm:     (t_pad, 4) targets [x, y, z|0, 0] — column 3 stays zero so the
+            mxu branch's ``pm_t * a[:, 3:4]`` correction is a no-op there.
+    src_t:  (8, s_pad) transposed sources: rows 0..dim-1 coords, row 3
+            masses (sublane dim padded to the fp32 min tile). Padding m=0.
+    src_m4: (s_pad, 4) premultiplied sources [m·x, m·y, m·z|0, m]; built
+            (and DMA'd) only in mxu mode.
+    """
+    pm = jnp.zeros((t_pad, 4), jnp.float32)
+    pm = pm.at[:n, :dim].set(positions)
+    pm = pm.at[n:, :dim].set(_PAD_POS)
+
+    src_t = jnp.zeros((8, s_pad), jnp.float32)
+    src_t = src_t.at[:dim, :n].set(positions.T)
+    src_t = src_t.at[:dim, n:].set(_PAD_POS)
+    src_t = src_t.at[3, :n].set(masses)
+
+    src_m4 = None
+    if mode == "mxu":
+        src_m4 = jnp.zeros((s_pad, 4), jnp.float32)
+        src_m4 = src_m4.at[:n, :dim].set(positions * masses[:, None])
+        src_m4 = src_m4.at[:n, 3].set(masses)
+    return pm, src_t, src_m4
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("G", "softening", "block_t", "block_s", "mode",
-                     "interpret"))
+    static_argnames=("G", "softening", "block_t", "block_s", "mode", "guard",
+                     "interpret", "s_sub"))
 def _forces_impl(positions, masses, *, G, softening, block_t, block_s, mode,
-                 interpret):
+                 guard, interpret, s_sub=2048):
     """Whole pipeline (layout prep → kernel → rescale) as one executable."""
     n, dim = positions.shape
     positions = positions.astype(jnp.float32)
@@ -157,29 +260,14 @@ def _forces_impl(positions, masses, *, G, softening, block_t, block_s, mode,
 
     block = max(block_t, block_s)
     n_pad = -(-n // block) * block
+    pm, src_t, src_m4 = _prep_layout(
+        positions, masses, dim, n, n_pad, n_pad, mode)
 
-    # (N,4) target layout [x, y, z|0, 0] — column 3 stays zero so the mxu
-    # branch's `pm_t * a[:, 3:4]` correction is a no-op there.
-    pm = jnp.zeros((n_pad, 4), jnp.float32)
-    pm = pm.at[:n, :dim].set(positions)
-    pm = pm.at[n:, :dim].set(_PAD_POS)
-
-    # (8, N) transposed sources: rows 0..dim-1 coords, row 3 masses
-    # (sublane dim padded to the fp32 min tile). Padding has m=0.
-    src_t = jnp.zeros((8, n_pad), jnp.float32)
-    src_t = src_t.at[:dim, :n].set(positions.T)
-    src_t = src_t.at[:dim, n:].set(_PAD_POS)
-    src_t = src_t.at[3, :n].set(masses)
-
-    # (N,4) premultiplied sources [m·x, m·y, m·z|0, m] for mxu mode.
-    src_m4 = jnp.zeros((n_pad, 4), jnp.float32)
-    src_m4 = src_m4.at[:n, :dim].set(positions * masses[:, None])
-    src_m4 = src_m4.at[:n, 3].set(masses)
-
-    acc = _pallas_accel(
+    acc = _tile_call(
         pm, src_t, src_m4,
         dim=dim, softening=softening,
-        block_t=block_t, block_s=block_s, mode=mode, interpret=interpret)
+        block_t=block_t, block_s=block_s, mode=mode, guard=guard,
+        interpret=interpret, s_sub=s_sub)
 
     g = jnp.float32(G)
     return (g * masses)[:, None] * acc[:n, :dim]
@@ -190,9 +278,10 @@ def pairwise_accel_pallas(
     src_pos: jax.Array,
     src_mass: jax.Array,
     softening: float = 0.0,
-    block_t: int = 512,
-    block_s: int = 2048,
+    block_t: int = 256,
+    block_s: int = 16384,
     mode: str = "precise",
+    guard: bool | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Rectangular tile: un-G-scaled accelerations on ``targets`` from all
@@ -205,6 +294,8 @@ def pairwise_accel_pallas(
     targets = targets.astype(jnp.float32)
     src_pos = src_pos.astype(jnp.float32)
     src_mass = src_mass.astype(jnp.float32)
+    if guard is None:
+        guard = float(softening) == 0.0
 
     block_t = min(block_t, max(8, t))
     block_s = min(block_s, max(128, s))
@@ -220,31 +311,16 @@ def pairwise_accel_pallas(
     src_t = src_t.at[:dim, s:].set(_PAD_POS)
     src_t = src_t.at[3, :s].set(src_mass)
 
-    src_m4 = jnp.zeros((s_pad, 4), jnp.float32)
-    src_m4 = src_m4.at[:s, :dim].set(src_pos * src_mass[:, None])
-    src_m4 = src_m4.at[:s, 3].set(src_mass)
+    src_m4 = None
+    if mode == "mxu":
+        src_m4 = jnp.zeros((s_pad, 4), jnp.float32)
+        src_m4 = src_m4.at[:s, :dim].set(src_pos * src_mass[:, None])
+        src_m4 = src_m4.at[:s, 3].set(src_mass)
 
-    grid = (t_pad // block_t, s_pad // block_s)
-    kernel = functools.partial(
-        _kernel, dim=dim, soft2=float(softening) ** 2, mode=mode)
-    acc = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block_s), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_s, 4), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 4), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(pm, src_t, src_m4)
+    acc = _tile_call(
+        pm, src_t, src_m4, dim=dim, softening=softening,
+        block_t=block_t, block_s=block_s, mode=mode, guard=guard,
+        interpret=interpret)
     return acc[:t, :dim]
 
 
@@ -258,32 +334,35 @@ def brute_force_pallas(
     positions: jax.Array,
     masses: jax.Array,
     config: GravityConfig = DEFAULT_GRAVITY,
-    block_t: int = 512,
-    block_s: int = 2048,
+    block_t: int = 256,
+    block_s: int = 16384,
     mode: str = "precise",
     sort: bool = False,
+    guard: bool | None = None,
+    s_sub: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-body forces [N, D] via the tiled Pallas kernel (fp32).
 
     ``sort=True`` Morton-orders bodies first (O(N log N), negligible vs N²)
     so target blocks are spatially compact — this is what makes ``mxu``
-    mode's block-centered reduction accurate. ``interpret=True`` runs the
-    same kernel through the Pallas interpreter — the CPU-testable path
-    (SURVEY.md §4's "fake backend" analog).
+    mode's block-centered reduction accurate. ``guard=None`` applies the
+    reference's d²<1e-10 pair skip only when softening == 0 (see module
+    docstring: with softening > 0 self-pairs cancel exactly without it).
+    ``interpret=True`` runs the same kernel through the Pallas interpreter —
+    the CPU-testable path (SURVEY.md §4's "fake backend" analog).
     """
     if mode not in ("precise", "mxu"):
         raise ValueError(f"mode must be 'precise' or 'mxu', got {mode!r}")
+    if guard is None:
+        guard = float(config.softening) == 0.0
+    kwargs = dict(
+        G=float(config.G), softening=float(config.softening),
+        block_t=block_t, block_s=block_s, mode=mode, guard=guard,
+        interpret=interpret, s_sub=s_sub)
     if sort:
         from .keys import morton_key
         order = jnp.argsort(morton_key(positions))
-        f_sorted = _forces_impl(
-            positions[order], masses[order],
-            G=float(config.G), softening=float(config.softening),
-            block_t=block_t, block_s=block_s, mode=mode,
-            interpret=interpret)
+        f_sorted = _forces_impl(positions[order], masses[order], **kwargs)
         return jnp.zeros_like(f_sorted).at[order].set(f_sorted)
-    return _forces_impl(
-        positions, masses,
-        G=float(config.G), softening=float(config.softening),
-        block_t=block_t, block_s=block_s, mode=mode, interpret=interpret)
+    return _forces_impl(positions, masses, **kwargs)

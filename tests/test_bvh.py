@@ -41,17 +41,24 @@ def test_build_invariants(rng_key, dim):
         assert rr[lc] < rr[i]
 
 
-def test_escape_terminates(rng_key):
+def test_children_partition_and_aabb(rng_key):
     n = 128
-    _, tree = make_tree(rng_key, n, 2)
-    esc = np.asarray(tree.escape)
-    # Root escapes to INVALID, all escapes point to later ranges or INVALID.
-    assert esc[0] == 2_147_483_647
+    sys, tree = make_tree(rng_key, n, 2)
     rl = np.asarray(tree.range_l)
-    for v in range(1, 2 * n - 1):
-        e = esc[v]
-        if e != 2_147_483_647:
-            assert rl[e] == np.asarray(tree.range_r)[v] + 1
+    rr = np.asarray(tree.range_r)
+    left = np.asarray(tree.left)
+    right = np.asarray(tree.right)
+    pos = np.asarray(tree.pos_sorted)
+    size = np.asarray(tree.node_size)
+    for v in range(n - 1):
+        # left/right children partition [l, r] contiguously.
+        assert rl[left[v]] == rl[v]
+        assert rr[right[v]] == rr[v]
+        assert rr[left[v]] + 1 == rl[right[v]]
+        # node_size is the exact AABB max extent of the covered range.
+        span = pos[rl[v]:rr[v] + 1]
+        want = (span.max(axis=0) - span.min(axis=0)).max()
+        np.testing.assert_allclose(size[v], want, rtol=1e-12)
 
 
 @pytest.mark.parametrize("n", [64, 256])

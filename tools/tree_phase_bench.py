@@ -1,0 +1,93 @@
+"""Phase-level timing of the tree tiers on the live chip.
+
+Times, separately: grid-tree build (quantize/sort/aggregate/slots), BH far
+field only, BH near field only, BH full, and the FMM phases via its
+``_debug_skip`` ablation knob. All timings are cached-execution (second run)
+with a checksum materialization.
+
+Usage: python tools/tree_phase_bench.py [--n 1048576] [--dim 2] [--fmm]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+
+import nbody_tpu as nb
+from nbody_tpu.ops.grid_tree import (
+    auto_leaf_level, build_grid_tree, compute_capacity,
+    grid_tree_accel_sorted, theta_to_ring)
+from nbody_tpu.ops.fmm import fmm_accel_sorted
+
+
+def timed(label, fn):
+    fn()  # compile + warmup
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    print(f"{label:44s} {dt*1e3:9.1f} ms")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_048_576)
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--theta", type=float, default=0.5)
+    ap.add_argument("--fmm", action="store_true")
+    ap.add_argument("--order", type=int, default=5)
+    args = ap.parse_args()
+
+    cfg = nb.GravityConfig()
+    system = nb.random_system(jax.random.key(7), args.n, dim=args.dim,
+                              dtype=jnp.float32)
+    pos, mass = system.positions, system.masses
+    occ = 32 if args.fmm or args.dim == 3 else 16
+    L = auto_leaf_level(args.n, args.dim,
+                        target_occupancy=occ)
+    cap = compute_capacity(pos, L)
+    soft = float(cfg.softening)
+    print(f"backend={jax.default_backend()} N={args.n} dim={args.dim} "
+          f"L={L} capacity={cap}")
+
+    build = functools.partial(build_grid_tree, leaf_level=L, capacity=cap)
+
+    def run_build():
+        t = build(pos, mass)
+        return float(jnp.sum(t.pos_sorted))
+    timed("build_grid_tree", run_build)
+
+    tree = build(pos, mass)
+
+    if args.fmm:
+        for skip, label in ((None, "fmm full"),
+                            ("m2l", "fmm skip m2l"),
+                            ("l2p", "fmm skip l2p"),
+                            ("p2p", "fmm skip p2p"),
+                            ("m2l,l2p,p2p", "fmm p2m+sweeps only")):
+            def run(skip=skip):
+                acc = fmm_accel_sorted(
+                    tree, order=args.order, ring=1, softening=soft,
+                    _debug_skip=skip or "")
+                return float(jnp.sum(jnp.abs(acc)))
+            timed(label, run)
+    else:
+        k = theta_to_ring(args.theta)
+
+        for skip, label in (("", f"bh eval full (k={k})"),
+                            ("near", "bh far only"),
+                            ("far", "bh near only"),
+                            ("far,near", "bh scatter/slots only")):
+            def run_bh(skip=skip):
+                acc = grid_tree_accel_sorted(tree, k=k, softening=soft,
+                                             _debug_skip=skip)
+                return float(jnp.sum(jnp.abs(acc)))
+            timed(label, run_bh)
+
+
+if __name__ == "__main__":
+    main()
