@@ -49,6 +49,7 @@ from .grid_tree import (
     _near_field_accel,
     _neighbor_offsets,
     _resolve_p2p_impl,
+    _window_rows,
     auto_leaf_level,
     build_grid_tree,
     cell_coords,
@@ -212,12 +213,14 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
 
     def p2m_batch(args):
         ids_b, centers_b = args
-        slots = tree.slot_index[ids_b]  # [B, C]
-        valid = slots >= 0
-        slots_c = jnp.maximum(slots, 0)
-        pos = tree.pos_sorted[slots_c]  # [B, C, D]
-        mass = tree.mass_sorted[slots_c] * valid  # [B, C]
+        # Slot-free: each leaf's contiguous run as packed superrows.
+        tb, _, valid = _window_rows(tree, ids_b)  # [B, TWR, 4]
+        pos = tb[..., :dim]
+        mass = tb[..., 3] * valid  # [B, TWR]
         y = (pos - centers_b[:, None, :]) / half_leaf  # in [-1,1]^D
+        # Masked window rows carry pos=0 → |y| can be huge and T_k(y) can
+        # overflow to inf (0·inf = NaN); pin them to the center instead.
+        y = jnp.where(valid[..., None], y, 0.0)
         basis = None
         for d in range(dim):
             s_d = _interp_1d(n_cheb, y[..., d], Tt)  # [B, C, n]
@@ -385,11 +388,11 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
 
     def eval_batch(args):
         ids_b, centers_b = args
+        del centers_b
         B = ids_b.shape[0]
-        slots = tree.slot_index[ids_b]
-        valid = slots >= 0
-        slots_c = jnp.maximum(slots, 0)
-        pos = tree.pos_sorted[slots_c]  # [B, C, D]
+        # Slot-free targets (see grid_tree._window_rows).
+        tb, tidx, tvalid = _window_rows(tree, ids_b)  # [B, TWR, 4]
+        pos = tb[..., :dim]
 
         # P2P over the leaf neighborhood (shared structure with BH grid).
         leaf_xy_b = cell_coords(ids_b.astype(jnp.uint32), dim)\
@@ -399,25 +402,29 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
         nb_ids = morton_key_from_coords(
             jnp.clip(nb_xy, 0, side_leaf - 1).astype(jnp.uint32)
             .reshape(-1, dim), L).astype(jnp.int32).reshape(B, -1)
-        nb_slots = tree.slot_index[nb_ids]
-        nb_valid = (nb_slots >= 0) & nb_ok[:, :, None]
-        nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)
-        spos = tree.pos_sorted[nb_slots_c]
-        smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
+        sb, _, svalid = _window_rows(tree, nb_ids)  # [B, nnear, SWR, 4]
+        svalid = svalid & nb_ok[:, :, None]
+        spos = sb[..., :dim].reshape(B, -1, dim)
+        smass = (sb[..., 3] * svalid).reshape(B, -1)
         acc_near = _near_field_accel(pos, spos, smass, softening,
                                      p2p_impl)
 
         if "p2p" in _debug_skip:
             acc_near = jnp.zeros_like(acc_near)
-        return acc_near, slots, valid
+        del tidx, tvalid
+        return acc_near
 
-    accs, slots, valids = jax.lax.map(eval_batch, (ids_b, cen_b))
-    acc_flat = accs.reshape(-1, dim)
-    slot_flat = slots.reshape(-1)
-    valid_flat = valids.reshape(-1)
-    out = acc_far_sorted
-    out = out.at[jnp.where(valid_flat, slot_flat, tree.n)].add(
-        acc_flat * valid_flat[:, None], mode="drop")
+    accs = jax.lax.map(eval_batch, (ids_b, cen_b))
+    # Window layout → sorted order is a pure GATHER (see grid_tree).
+    twr = (C // 8 + 1) * 8
+    acc_flat = accs.reshape(-1, dim)  # [my_leaves·TWR, dim]
+    chunk0 = leaf_ids_all[0]
+    src = (tree.leaf_ids - chunk0) * twr + tree.window_slot  # [N]
+    in_chunk = (tree.leaf_ids >= chunk0) & \
+               (tree.leaf_ids < chunk0 + my_leaves)
+    acc_near_sorted = acc_flat[jnp.where(in_chunk, src, 0)] \
+        * in_chunk[:, None]
+    out = acc_far_sorted + acc_near_sorted
     if shard_axis is not None:
         out = jax.lax.psum(out, shard_axis)
     return out
@@ -439,8 +446,7 @@ def fmm_forces(
     """
     n, dim = positions.shape
     if leaf_level is None:
-        # FMM amortizes better with fuller leaves than BH.
-        leaf_level = auto_leaf_level(n, dim, target_occupancy=32)
+        leaf_level = auto_leaf_level(n, dim)
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)

@@ -20,8 +20,11 @@ over Morton keys:
   covered exactly once: by the COM approximation at the unique level where
   its ancestors first separate, or by the near field at the leaves.
 * **Near field**: leaf cells interact pairwise with their (2k+1)^D neighbor
-  cells through capacity-padded body slots (P2P), with the brute-force
-  self-pair guard.
+  cells (P2P), with the brute-force self-pair guard. Slot-free: every leaf
+  is a contiguous run of Morton-sorted bodies fetched as 8-body packed
+  superrows (row gathers cost per row, not per byte — measured ~7.6 ns/row
+  on v5e), and results return to sorted order by a pure gather via
+  ``window_slot`` (scatters measured ~5× slower).
 
 Barnes-Hut = this structure with monopole-at-COM far-field evaluation
 (dipole term vanishes at the COM, as in ``octree.cpp:146-151``); FMM reuses
@@ -97,14 +100,28 @@ class GridTree:
     level_mass: Tuple[jax.Array, ...]  # [(2^(D*l),)]
     level_com: Tuple[jax.Array, ...]  # [(2^(D*l), D)]
 
-    # Leaf occupancy: slot -> sorted-body index (-1 = empty).
-    slot_index: jax.Array  # [num_leaf_cells, capacity]
-
     # Contiguous-run layout (bodies are Morton-sorted, so every leaf cell is
     # one contiguous run of sorted bodies): run start / length per dense
     # leaf cell. The slot-free near field (P2P) is built on these.
     cell_start: jax.Array  # [num_leaf_cells] first sorted-body index
     cell_count: jax.Array  # [num_leaf_cells] bodies in the cell
+
+    # Superrow-packed bodies: row r holds the (pos|0, mass) 4-vectors of
+    # sorted bodies [8r, 8r+8). TPU row gathers cost per ROW, not per byte
+    # (measured ~7.6 ns/row on v5e), so fetching a leaf's contiguous run as
+    # ceil(C/8)+1 superrows instead of C per-slot rows cuts the dominant
+    # near-field gather cost ~8×.
+    body_pack: jax.Array  # [ceil(N/8), 32]
+
+    # Position of sorted body i within its leaf's target window
+    # (_window_rows layout): window-result → sorted-order conversion is a
+    # GATHER out[i] = acc_window[leaf_ids[i]·TWR + window_slot[i]] instead
+    # of a scatter-add (TPU scatters measured ~5× slower than gathers).
+    window_slot: jax.Array  # [N]
+
+    # Per-level packed cell aggregates [com|0, mass] for one-gather far
+    # fields (same row-cost argument).
+    level_pack: Tuple[jax.Array, ...]  # [(2^(D*l), 4)]
 
     @property
     def n(self) -> int:
@@ -120,12 +137,14 @@ def auto_leaf_level(n: int, dim: int, target_occupancy: Optional[int] = None,
     """Leaf depth so cells average ~target_occupancy bodies (static choice).
 
     Default occupancy is dimension-tuned from device measurements on one
-    v5e chip: fuller leaves amortize the neighbor gathers (N=1M 3D: occ 32
-    → 1.38 s vs occ 4 → 5.9 s; N=1M 2D: occ 16 → 0.97 s vs occ 4 → 1.85 s).
+    v5e chip with the slot-free window layout (build+eval, N=1M, k=1):
+    2D occ 64 → 182 ms vs occ 16 → 284 ms; 3D occ 32 → 498 ms vs occ 16 →
+    2.5 s. Fuller leaves shrink the capacity/mean-occupancy padding ratio
+    (the near-field tensors scale with capacity², not occupancy²).
     """
     import math
     if target_occupancy is None:
-        target_occupancy = 16 if dim == 2 else 32
+        target_occupancy = 64 if dim == 2 else 32
     level = max(1, math.ceil(math.log2(max(n, 2) / target_occupancy) / dim))
     cap = {2: 13, 3: 8}[dim]  # ≤ 2^26 / 2^24 dense leaf cells
     if max_level is not None:
@@ -168,28 +187,61 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
     cell_sizes = jnp.stack(
         [(hi - lo) / (1 << l) for l in range(L + 1)], axis=0)
 
+    # Leaf runs without scatters: bodies are sorted by leaf id, so run
+    # starts come from searchsorted (the round-1 per-level scatter-add
+    # aggregation measured ~200 ms of the 250 ms build at N=1M).
+    num_leaf_cells = 1 << (dim * L)
+    all_cells = jnp.arange(num_leaf_cells, dtype=leaf_ids.dtype)
+    starts = jnp.searchsorted(leaf_ids, all_cells).astype(jnp.int32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
+    counts = ends - starts
+
+    # Superrow packing (see field docstring).
+    np8 = -(-n // 8) * 8
+    bt = jnp.zeros((np8, 4), pos_s.dtype)
+    bt = bt.at[:n, :dim].set(pos_s)
+    bt = bt.at[:n, 3].set(mass_s)
+    body_pack = bt.reshape(np8 // 8, 32)
+
+    # Leaf aggregates via masked window sums (local, no cancellation; the
+    # global-cumsum alternative loses ~ε·Σm of absolute precision), then
+    # coarser levels by exact 2^D-child tree reduction — Morton ids make
+    # children of one parent contiguous.
+    TW = capacity // 8 + 1
+    nsr = body_pack.shape[0]
+    sr_raw = (starts // 8)[:, None] + jnp.arange(TW, dtype=jnp.int32)
+    rows = body_pack[jnp.clip(sr_raw, 0, nsr - 1)]  # [M, TW, 32]
+    wbodies = rows.reshape(num_leaf_cells, TW * 8, 4)
+    gidx = (sr_raw[..., None] * 8 + jnp.arange(8, dtype=jnp.int32))\
+        .reshape(num_leaf_cells, TW * 8)
+    wvalid = (gidx >= starts[:, None]) & (gidx < ends[:, None])
+    wmass = wbodies[..., 3] * wvalid
+    m_leaf = jnp.sum(wmass, axis=1)  # [M]
+    mx_leaf = jnp.sum(wmass[..., None] * wbodies[..., :dim], axis=1)
+
     level_mass: List[jax.Array] = []
     level_com: List[jax.Array] = []
-    mpos = mass_s[:, None] * pos_s
-    for l in range(L + 1):
-        ids_l = (leaf_ids >> (dim * (L - l)))
-        num_cells = 1 << (dim * l)
-        m_l = jnp.zeros((num_cells,), pos_s.dtype).at[ids_l].add(mass_s)
-        mx_l = jnp.zeros((num_cells, dim), pos_s.dtype).at[ids_l].add(mpos)
+    level_pack: List[jax.Array] = []
+    m_l, mx_l = m_leaf, mx_leaf
+    for l in range(L, -1, -1):
         com_l = mx_l / jnp.maximum(m_l, 1e-30)[:, None]
+        pack_l = jnp.zeros((m_l.shape[0], 4), pos_s.dtype)
+        pack_l = pack_l.at[:, :dim].set(com_l).at[:, 3].set(m_l)
         level_mass.append(m_l)
         level_com.append(com_l)
+        level_pack.append(pack_l)
+        if l > 0:
+            m_l = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
+            mx_l = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
+    level_mass.reverse()
+    level_com.reverse()
+    level_pack.reverse()
 
-    # Leaf slotting: rank of each sorted body within its (contiguous) cell.
-    num_leaf_cells = 1 << (dim * L)
-    counts = jnp.zeros((num_leaf_cells,), jnp.int32).at[leaf_ids].add(1)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[leaf_ids]
-    slot_index = jnp.full((num_leaf_cells, capacity), -1, jnp.int32)
-    rank_c = jnp.minimum(rank, capacity - 1)  # defensive; capacity >= max
-    slot_index = slot_index.at[leaf_ids, rank_c].set(
-        jnp.arange(n, dtype=jnp.int32))
+    # Window slot of each sorted body: its leaf's window starts at the
+    # superrow boundary below cell_start.
+    body_start = starts[leaf_ids]  # [N]
+    window_slot = (jnp.arange(n, dtype=jnp.int32)
+                   - (body_start // 8) * 8)
 
     return GridTree(
         dim=dim, leaf_level=L, capacity=capacity,
@@ -197,8 +249,9 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
         order=order, leaf_ids=leaf_ids,
         pos_sorted=pos_s, mass_sorted=mass_s,
         level_mass=tuple(level_mass), level_com=tuple(level_com),
-        slot_index=slot_index,
         cell_start=starts, cell_count=counts,
+        body_pack=body_pack, level_pack=tuple(level_pack),
+        window_slot=window_slot,
     )
 
 
@@ -252,6 +305,36 @@ def _near_field_accel(tpos, spos, smass, softening, p2p_impl):
     out = p2p_leaf_pallas(t4, s8, dim=D, softening=float(softening),
                           interpret=(p2p_impl == "pallas_interpret"))
     return out[..., :D].astype(tpos.dtype)
+
+
+def _window_rows(tree: GridTree, cell_ids: jax.Array):
+    """Gather each cell's contiguous body run as packed superrows.
+
+    The slot-free near field (ROADMAP round-1 item 2): bodies are Morton-
+    sorted, so a leaf cell is one contiguous run [start, start+count); the
+    run is fetched as ceil(C/8)+1 rows of ``body_pack`` (8 bodies each)
+    instead of C per-slot row gathers — row gathers on this part cost per
+    row, not per byte (measured ~7.6 ns/row), so this is ~8× cheaper than
+    the round-1 ``slot_index`` layout and needs no slot bookkeeping at all.
+
+    cell_ids: [...] dense leaf ids. Returns (bodies [..., TW*8, 4] packed
+    (pos|0, mass), gidx [..., TW*8] global sorted-body index, valid mask).
+    """
+    TW = tree.capacity // 8 + 1
+    start = tree.cell_start[cell_ids]
+    count = tree.cell_count[cell_ids]
+    nsr = tree.body_pack.shape[0]
+    sr_raw = (start // 8)[..., None] + jnp.arange(TW, dtype=jnp.int32)
+    sr = jnp.clip(sr_raw, 0, nsr - 1)
+    rows = tree.body_pack[sr]  # [..., TW, 32]
+    bodies = rows.reshape(rows.shape[:-2] + (TW * 8, 4))
+    gidx = (sr_raw[..., None] * 8
+            + jnp.arange(8, dtype=jnp.int32)).reshape(sr_raw.shape[:-1]
+                                                      + (TW * 8,))
+    # (sr_raw >= nsr rows clip to the last superrow, but their gidx >= n >=
+    # start+count keeps them masked.)
+    valid = (gidx >= start[..., None]) & (gidx < (start + count)[..., None])
+    return bodies, gidx, valid
 
 
 def _point_mass_accel(targets, src_pos, src_mass, softening):
@@ -323,12 +406,11 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     def one_batch(leaf_ids_b):
         """leaf_ids_b: [B] dense leaf cell ids."""
         B = leaf_ids_b.shape[0]
-        # Target bodies of each leaf.
-        slots = tree.slot_index[leaf_ids_b]  # [B, C]
-        valid_t = slots >= 0
-        slots_c = jnp.maximum(slots, 0)
-        tpos = tree.pos_sorted[slots_c]  # [B, C, D]
-        acc = jnp.zeros((B, C, dim), tree.pos_sorted.dtype)
+        # Target bodies: each leaf's contiguous run as packed superrows
+        # (slot-free; see _window_rows).
+        tb, tidx, tvalid = _window_rows(tree, leaf_ids_b)  # [B, TWR, ·]
+        tpos = tb[..., :dim]
+        acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
 
         # --- Far field: V-list per level -------------------------------
         far_levels = () if "far" in _debug_skip else range(2, L + 1)
@@ -348,8 +430,9 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
             cand_ids = morton_key_from_coords(
                 jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
                 .reshape(-1, dim), l).astype(jnp.int32).reshape(B, -1)
-            cmass = tree.level_mass[l][cand_ids] * is_far  # [B, ncand]
-            ccom = tree.level_com[l][cand_ids]  # [B, ncand, D]
+            cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
+            cmass = cpack[..., 3] * is_far
+            ccom = cpack[..., :dim]
             acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
 
         # --- Near field: leaf P2P over the (2k+1)^D neighborhood -------
@@ -362,27 +445,29 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
             nb_ids = morton_key_from_coords(
                 jnp.clip(nb_xy, 0, (1 << side_bits) - 1).astype(jnp.uint32)
                 .reshape(-1, dim), side_bits).astype(jnp.int32).reshape(B, -1)
-            nb_slots = tree.slot_index[nb_ids]  # [B, nnear, C]
-            nb_valid = (nb_slots >= 0) & nb_ok[:, :, None]
-            nb_slots_c = jnp.maximum(nb_slots, 0).reshape(B, -1)
-            spos = tree.pos_sorted[nb_slots_c]  # [B, nnear*C, D]
-            smass = tree.mass_sorted[nb_slots_c] * nb_valid.reshape(B, -1)
+            sb, _, svalid = _window_rows(tree, nb_ids)  # [B, nnear, SWR, 4]
+            svalid = svalid & nb_ok[:, :, None]
+            spos = sb[..., :dim].reshape(B, -1, dim)
+            smass = (sb[..., 3] * svalid).reshape(B, -1)
             acc = acc + _near_field_accel(tpos, spos, smass, softening,
                                           p2p_impl)
 
-        return acc, slots, valid_t
+        del tidx, tvalid
+        return acc
 
     # Map over even batches of dense leaf ids.
     ids_batched = all_leaf_ids.reshape(nb, leaf_batch)
-    accs, slots, valids = jax.lax.map(one_batch, ids_batched)
+    accs = jax.lax.map(one_batch, ids_batched)
 
-    # Scatter per-slot accelerations back to sorted body order.
-    acc_flat = accs.reshape(-1, dim)
-    slot_flat = slots.reshape(-1)
-    valid_flat = valids.reshape(-1)
-    out = jnp.zeros((tree.n, dim), tree.pos_sorted.dtype)
-    out = out.at[jnp.where(valid_flat, slot_flat, tree.n)].add(
-        acc_flat * valid_flat[:, None], mode="drop")
+    # Window layout → sorted order is a pure GATHER (each body occupies
+    # exactly one window slot; TPU scatters are ~5× slower than gathers).
+    twr = (C // 8 + 1) * 8
+    acc_flat = accs.reshape(-1, dim)  # [my_leaves·TWR, dim]
+    chunk0 = all_leaf_ids[0]
+    src = (tree.leaf_ids - chunk0) * twr + tree.window_slot  # [N]
+    in_chunk = (tree.leaf_ids >= chunk0) & \
+               (tree.leaf_ids < chunk0 + my_leaves)
+    out = acc_flat[jnp.where(in_chunk, src, 0)] * in_chunk[:, None]
     if shard_axis is not None:
         out = jax.lax.psum(out, shard_axis)
     return out

@@ -101,7 +101,7 @@ def fmm_sharded(
     num_shards = mesh.shape[axis_name]
     n, dim = positions.shape
     if leaf_level is None:
-        leaf_level = auto_leaf_level(n, dim, target_occupancy=32)
+        leaf_level = auto_leaf_level(n, dim)
     while (1 << (dim * leaf_level)) < num_shards:
         leaf_level += 1
     if capacity is None:

@@ -90,7 +90,7 @@ def phase_breakdown_fmm(positions, masses, config=None, order: int = 5,
     config = config or DEFAULT_GRAVITY
     timer = timer or PhaseTimer()
     n, dim = positions.shape
-    leaf_level = auto_leaf_level(n, dim, target_occupancy=32)
+    leaf_level = auto_leaf_level(n, dim)
     capacity = timer.timed("capacity_scan", compute_capacity,
                            positions, leaf_level)
     tree = timer.timed("tree_build", build_grid_tree, positions, masses,

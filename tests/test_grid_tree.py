@@ -44,10 +44,19 @@ def test_build_invariants(rng_key, dim):
                      / total)
     np.testing.assert_allclose(np.asarray(tree.level_com[0][0]), com,
                                rtol=1e-12)
-    # Every body occupies exactly one slot.
-    slots = np.asarray(tree.slot_index)
-    occupied = slots[slots >= 0]
+    # Leaf runs partition the sorted bodies: starts/counts are consistent
+    # and every body has a unique window slot within its leaf.
+    starts = np.asarray(tree.cell_start)
+    counts = np.asarray(tree.cell_count)
+    assert counts.sum() == 500
+    occupied = np.concatenate(
+        [np.arange(s, s + c) for s, c in zip(starts, counts) if c > 0])
     assert len(occupied) == 500 and len(np.unique(occupied)) == 500
+    ws = np.asarray(tree.window_slot)
+    body_leaf = np.asarray(tree.leaf_ids)
+    twr = tree.capacity // 8 * 8 + 8
+    assert np.all(ws >= 0) and np.all(ws < twr)
+    assert len(np.unique(body_leaf.astype(np.int64) * twr + ws)) == 500
     # Sorted bodies are in Morton order of their leaf ids.
     leaf_ids = np.asarray(tree.leaf_ids)
     assert np.all(np.diff(leaf_ids) >= 0)
