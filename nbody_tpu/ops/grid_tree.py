@@ -145,7 +145,10 @@ def auto_leaf_level(n: int, dim: int, target_occupancy: Optional[int] = None,
     import math
     if target_occupancy is None:
         target_occupancy = 64 if dim == 2 else 32
-    level = max(1, math.ceil(math.log2(max(n, 2) / target_occupancy) / dim))
+    # floor, not ceil: the window layout favors fuller leaves (measured 4M
+    # 3D: occ 16 → 3.9 s vs occ 128 → 1.4 s), so land in
+    # [target, target·2^D) rather than (target/2^D, target].
+    level = max(1, math.floor(math.log2(max(n, 2) / target_occupancy) / dim))
     cap = {2: 13, 3: 8}[dim]  # ≤ 2^26 / 2^24 dense leaf cells
     if max_level is not None:
         cap = min(cap, max_level)

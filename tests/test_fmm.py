@@ -74,9 +74,10 @@ def test_fmm_converges_with_order(rng_key):
     sys = random_system(rng_key, 1000, dim=2, dtype=jnp.float64)
     cfg = GravityConfig()
     want = brute_force_direct(sys.positions, sys.masses, cfg)
+    # Explicit level so the tree has a real far field at N=1000.
     errs = [float(scale_normalized_error(
         F.fmm_forces(sys.positions, sys.masses, cfg, order=o,
-                     leaf_batch=256), want)) for o in (2, 4, 6)]
+                     leaf_level=3, leaf_batch=256), want)) for o in (2, 4, 6)]
     assert errs[1] < errs[0] and errs[2] < errs[1], errs
     assert errs[2] < 1e-4, errs
 

@@ -13,10 +13,13 @@ from nbody_tpu.parallel.sharded_tree import barnes_hut_sharded
 def test_sharded_bh_matches_single_device(rng_key, dim):
     sys = random_system(rng_key, 400, dim=dim, dtype=jnp.float64)
     cfg = GravityConfig()
-    single = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5)
+    # Same explicit level on both sides (the sharded path would otherwise
+    # bump the auto level so every shard owns a leaf).
+    single = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5,
+                             leaf_level=2)
     mesh = make_mesh()
     sharded = barnes_hut_sharded(sys.positions, sys.masses, cfg,
-                                 mesh=mesh, theta=0.5)
+                                 mesh=mesh, theta=0.5, leaf_level=2)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-10)
 
@@ -53,9 +56,10 @@ def test_sharded_fmm_matches_single_device(rng_key, dim):
     from nbody_tpu.parallel.sharded_tree import fmm_sharded
     sys = random_system(rng_key, 400, dim=dim, dtype=jnp.float64)
     cfg = GravityConfig()
-    single = fmm_forces(sys.positions, sys.masses, cfg, order=4)
+    single = fmm_forces(sys.positions, sys.masses, cfg, order=4,
+                        leaf_level=2)
     sharded = fmm_sharded(sys.positions, sys.masses, cfg,
-                          mesh=make_mesh(), order=4)
+                          mesh=make_mesh(), order=4, leaf_level=2)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-8)
 
