@@ -310,7 +310,8 @@ def _near_field_accel(tpos, spos, smass, softening, p2p_impl):
     return out[..., :D].astype(tpos.dtype)
 
 
-def _window_rows(tree: GridTree, cell_ids: jax.Array):
+def _window_rows_raw(body_pack, cell_start, cell_count, capacity,
+                     cell_ids: jax.Array):
     """Gather each cell's contiguous body run as packed superrows.
 
     The slot-free near field (ROADMAP round-1 item 2): bodies are Morton-
@@ -320,16 +321,17 @@ def _window_rows(tree: GridTree, cell_ids: jax.Array):
     row, not per byte (measured ~7.6 ns/row), so this is ~8× cheaper than
     the round-1 ``slot_index`` layout and needs no slot bookkeeping at all.
 
-    cell_ids: [...] dense leaf ids. Returns (bodies [..., TW*8, 4] packed
-    (pos|0, mass), gidx [..., TW*8] global sorted-body index, valid mask).
+    cell_ids: [...] dense leaf ids (relative to the start/count arrays).
+    Returns (bodies [..., TW*8, 4] packed (pos|0, mass), gidx [..., TW*8]
+    sorted-body index into 8·body_pack rows, valid mask).
     """
-    TW = tree.capacity // 8 + 1
-    start = tree.cell_start[cell_ids]
-    count = tree.cell_count[cell_ids]
-    nsr = tree.body_pack.shape[0]
+    TW = capacity // 8 + 1
+    start = cell_start[cell_ids]
+    count = cell_count[cell_ids]
+    nsr = body_pack.shape[0]
     sr_raw = (start // 8)[..., None] + jnp.arange(TW, dtype=jnp.int32)
     sr = jnp.clip(sr_raw, 0, nsr - 1)
-    rows = tree.body_pack[sr]  # [..., TW, 32]
+    rows = body_pack[sr]  # [..., TW, 32]
     bodies = rows.reshape(rows.shape[:-2] + (TW * 8, 4))
     gidx = (sr_raw[..., None] * 8
             + jnp.arange(8, dtype=jnp.int32)).reshape(sr_raw.shape[:-1]
@@ -338,6 +340,12 @@ def _window_rows(tree: GridTree, cell_ids: jax.Array):
     # start+count keeps them masked.)
     valid = (gidx >= start[..., None]) & (gidx < (start + count)[..., None])
     return bodies, gidx, valid
+
+
+def _window_rows(tree: GridTree, cell_ids: jax.Array):
+    """Tree-level convenience wrapper over :func:`_window_rows_raw`."""
+    return _window_rows_raw(tree.body_pack, tree.cell_start,
+                            tree.cell_count, tree.capacity, cell_ids)
 
 
 def _point_mass_accel(targets, src_pos, src_mass, softening):
