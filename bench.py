@@ -27,7 +27,7 @@ def main():
 
         def forces(pos, mass):
             return brute_force_pallas(pos, mass, nb.GravityConfig(),
-                                      mode="precise")
+                                      mode="symmetric")
         n = N
     else:  # CPU fallback so the bench never hard-fails off-TPU.
         def forces(pos, mass):

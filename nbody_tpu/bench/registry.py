@@ -77,7 +77,11 @@ def _bf_jnp(pos, mass, cfg, tree_cfg):
 @register("BruteForce_Pallas", "a", tpu_only=True)
 def _bf_pallas(pos, mass, cfg, tree_cfg):
     from ..ops.pallas_brute import brute_force_pallas
-    return brute_force_pallas(pos, mass, cfg, mode="precise")
+    # Newton-3 symmetric round-robin kernel (1.46× the one-sided kernel at
+    # N=1M 2D) while its full-width VMEM source accumulator fits; the
+    # streaming one-sided kernel beyond.
+    mode = "symmetric" if pos.shape[0] <= 2_097_152 else "precise"
+    return brute_force_pallas(pos, mass, cfg, mode=mode)
 
 
 @register("BruteForce_Ring", "a", multi_device_only=True)

@@ -8,12 +8,18 @@ force accumulator stay resident in VMEM while source windows stream through,
 exactly like the CUDA shared-memory tile loop but with (256 × 16384)-pair
 windows (processed in 2048-lane sub-tiles) instead of 256 threads. Measured
 at N=1M 2D on one v5e chip: 5.02 s (round-1 config, guarded (512, 2048))
-→ 4.48 s (guard fold) → 4.20 s (16K source windows; fewer grid programs) —
-~262 Gpair/s, ≈14.7 VPU-op slots/pair against the microbenchmarked ~3.9
-Tops/s ILP peak (tools/vpu_microbench.py), i.e. within ~35% of the exact
-all-pairs speed-of-light for this part. bf16 can't help: the v5e backend
-has no bf16 rsqrt (compiler abort) and coordinates at ~1e7 don't survive
-bf16 rounding.
+→ 4.48 s (guard fold) → 4.20 s (16K source windows; fewer grid programs)
+→ 2.87 s ("symmetric" Newton-3 round-robin kernel, identical checksum).
+The symmetric kernel runs at ~20.3 VPU-op slots per *unordered* pair
+(vs ~17 hand-counted ops) against the microbenchmarked ~3.9 Tops/s fp32
+ILP peak (tools/vpu_microbench.py) — within ~20% of the exact all-pairs
+speed-of-light for this part; the remaining gap is sublane (cross-target)
+reductions and the VMEM read-modify-write of the source accumulator.
+bf16 can't help: the v5e backend has no bf16 rsqrt (compiler abort) and
+coordinates at ~1e7 don't survive bf16 rounding. The MXU can't either:
+(T,S)@(S,4) reductions and (T,D)@(D,S) d² matmuls both have a ≤4-wide
+dimension, so the systolic array runs at ≲3% utilization — measured 0.02
+TFLOP/s, 10-20× slower than the VPU doing the same reduction.
 
 Math (attractive convention, Plummer softening — see ops/brute_force.py):
 
@@ -124,6 +130,135 @@ def _kernel_precise(pm_t_ref, src_t_ref, out_ref, *, dim, soft2, guard,
     @pl.when(j > 0)
     def _():
         out_ref[:] = out_ref[:] + contrib
+
+
+def _kernel_symmetric(pm_ref, src_t_ref, out_t_ref, out_s_ref, *, dim,
+                      soft2, guard, s_sub, block_b, nb):
+    """Newton's-3rd-law tile: each unordered block pair computed once.
+
+    TPU analog of the reference's symmetric i<j update (``methods.cpp:7-42``,
+    force applied to both bodies of a pair). Grid is the classic round-robin
+    pairing (i, o) → blocks (i, j=(i+o) mod nb): every unordered block pair
+    appears exactly once (for even nb the o == nb/2 column is halved via a
+    skip predicate). The pair weight is the *symmetric* force kernel
+    w = m_t·m_s·(d²+ε²)^{-3/2}, so one (T, s_sub) product w·diff serves both
+    accumulations: Σ_s into the target block (revisited consecutively along
+    the o axis → stays in VMEM) and −Σ_t into a full-width (4, N) source
+    accumulator that lives in VMEM for the whole launch (index (0,0) every
+    step) and is flushed once at the end.
+
+    Refs:
+      pm_ref:    (B, 4) target positions+mass, columns [x, y, z|0, m].
+      src_t_ref: (8, B) transposed sources, rows 0..dim-1 coords, row 3 = m.
+      out_t_ref: (B, 4) target-side Σ_s w·(x_s − x_t) (force / G).
+      out_s_ref: (4, n_pad) source-side accumulator (force / G), transposed.
+    """
+    i_blk = pl.program_id(0)
+    o = pl.program_id(1)
+    j_blk = jax.lax.rem(i_blk + o, jnp.int32(nb))
+    diag = o == 0
+    # Even-nb round robin: the o == nb//2 column pairs each i with i+nb/2,
+    # so the upper half would duplicate the lower half's pairs.
+    if nb % 2 == 0 and nb > 1:
+        skip = jnp.logical_and(o == nb // 2, i_blk >= nb // 2)
+    else:
+        skip = jnp.bool_(False)
+
+    @pl.when(jnp.logical_and(i_blk == 0, o == 0))
+    def _():
+        out_s_ref[:] = jnp.zeros_like(out_s_ref)
+
+    pm = pm_ref[:]  # (B, 4)
+    m_t = pm[:, 3:4]  # (B, 1)
+    s_win = src_t_ref.shape[1]
+
+    @pl.when(jnp.logical_not(skip))
+    def _():
+        cols_acc = None
+        for u0 in range(0, s_win, s_sub):
+            diffs = []
+            d2 = jnp.float32(soft2)
+            for d in range(dim):
+                diff = src_t_ref[d:d + 1, u0:u0 + s_sub] - pm[:, d:d + 1]
+                diffs.append(diff)  # (B, s_sub)
+                d2 = diff * diff + d2
+            u = jax.lax.rsqrt(d2)
+            u3 = u * u * u
+            if guard:
+                u3 = jnp.where(d2 - soft2 < _DIST2_GUARD, 0.0, u3)
+            w = u3 * (m_t * src_t_ref[3:4, u0:u0 + s_sub])  # m_t·m_s·u³
+            ps = [w * diffs[d] for d in range(dim)]
+            cols = [jnp.sum(ps[d], axis=1, keepdims=True)
+                    for d in range(dim)]
+            cols_acc = cols if cols_acc is None else [
+                a + c for a, c in zip(cols_acc, cols)]
+
+            @pl.when(jnp.logical_not(diag))
+            def _():
+                rows = [jnp.sum(ps[d], axis=0, keepdims=True)
+                        for d in range(dim)]
+                rows += [jnp.zeros_like(rows[0])] * (4 - dim)
+                srow = jnp.concatenate(rows, axis=0)  # (4, s_sub)
+                lanes = pl.ds(j_blk * block_b + u0, s_sub)
+                out_s_ref[:, lanes] = out_s_ref[:, lanes] - srow
+
+        cols_acc += [jnp.zeros_like(cols_acc[0])] * (4 - dim)
+        contrib = jnp.concatenate(cols_acc, axis=1)  # (B, 4)
+
+        @pl.when(diag)
+        def _():
+            out_t_ref[:] = contrib
+
+        @pl.when(jnp.logical_not(diag))
+        def _():
+            out_t_ref[:] = out_t_ref[:] + contrib
+
+    # A skipped program on the diagonal can't happen (o == 0 column is never
+    # skipped), so out_t always holds valid data when flushed.
+
+
+def _symmetric_call(pm, src_t, *, dim, softening, block_b, guard, interpret,
+                    s_sub):
+    """pallas_call builder for the symmetric round-robin kernel.
+
+    Returns (out_t [n_pad, 4], out_s [4, n_pad]); force/G = out_t + out_s.T.
+    """
+    n_pad = pm.shape[0]
+    nb = n_pad // block_b
+    n_off = nb // 2 + 1
+    soft2 = float(softening) ** 2
+    kernel = functools.partial(
+        _kernel_symmetric, dim=dim, soft2=soft2, guard=guard,
+        s_sub=min(s_sub, block_b), block_b=block_b, nb=nb)
+    pairs = nb * nb * block_b * block_b  # ordered-pair equivalent work / 2
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, n_off),
+        in_specs=[
+            pl.BlockSpec((block_b, 4), lambda i, o: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block_b), lambda i, o: (0, (i + o) % nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_b, 4), lambda i, o: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, n_pad), lambda i, o: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((4, n_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * dim + 9 + 2 * dim) * pairs // 2,
+            bytes_accessed=n_pad * 16 * (nb + 4),
+            transcendentals=pairs // 2,
+        ),
+        interpret=interpret,
+    )(pm, src_t)
 
 
 def _kernel_mxu(pm_t_ref, src_t_ref, src_m4_ref, out_ref, *, dim, soft2):
@@ -258,6 +393,22 @@ def _forces_impl(positions, masses, *, G, softening, block_t, block_s, mode,
     positions = positions.astype(jnp.float32)
     masses = masses.astype(jnp.float32)
 
+    if mode == "symmetric":
+        # Square round-robin blocks (``block_t`` doubles as B here): clamp to
+        # the (128-aligned) body count so small problems stay a single
+        # diagonal tile. B=2048 measured best at N=1M (2871 ms vs 3093/3310
+        # for 1024/4096).
+        block = min(block_t, -(-n // 128) * 128)
+        n_pad = -(-n // block) * block
+        pm, src_t, _ = _prep_layout(
+            positions, masses, dim, n, n_pad, n_pad, mode)
+        pm = pm.at[:n, 3].set(masses)  # symmetric weight needs m_t too
+        out_t, out_s = _symmetric_call(
+            pm, src_t, dim=dim, softening=softening, block_b=block,
+            guard=guard, interpret=interpret, s_sub=s_sub)
+        # w already carries m_t·m_s, so this is the force, scaled by G only.
+        return jnp.float32(G) * (out_t[:n, :dim] + out_s[:dim, :n].T)
+
     block = max(block_t, block_s)
     n_pad = -(-n // block) * block
     pm, src_t, src_m4 = _prep_layout(
@@ -334,7 +485,7 @@ def brute_force_pallas(
     positions: jax.Array,
     masses: jax.Array,
     config: GravityConfig = DEFAULT_GRAVITY,
-    block_t: int = 256,
+    block_t: int | None = None,
     block_s: int = 16384,
     mode: str = "precise",
     sort: bool = False,
@@ -344,6 +495,14 @@ def brute_force_pallas(
 ) -> jax.Array:
     """Per-body forces [N, D] via the tiled Pallas kernel (fp32).
 
+    ``mode="symmetric"`` is the Newton's-3rd-law round-robin kernel
+    (``_kernel_symmetric``): each unordered block pair computed once, both
+    sides accumulated. Measured N=1M 2D on one v5e chip: 2871 ms vs 4204 ms
+    for "precise" (1.46×), identical checksum, same ~1e-6 accuracy class.
+    Its ``block_t`` is the square block B (best: 2048); its full-width
+    (4, N) VMEM source accumulator caps it at roughly N ≤ 2M — use
+    "precise" (or the multi-chip ring) beyond.
+
     ``sort=True`` Morton-orders bodies first (O(N log N), negligible vs N²)
     so target blocks are spatially compact — this is what makes ``mxu``
     mode's block-centered reduction accurate. ``guard=None`` applies the
@@ -352,8 +511,11 @@ def brute_force_pallas(
     ``interpret=True`` runs the same kernel through the Pallas interpreter —
     the CPU-testable path (SURVEY.md §4's "fake backend" analog).
     """
-    if mode not in ("precise", "mxu"):
-        raise ValueError(f"mode must be 'precise' or 'mxu', got {mode!r}")
+    if mode not in ("precise", "mxu", "symmetric"):
+        raise ValueError(
+            f"mode must be 'precise', 'mxu' or 'symmetric', got {mode!r}")
+    if block_t is None:
+        block_t = 2048 if mode == "symmetric" else 256  # measured defaults
     if guard is None:
         guard = float(config.softening) == 0.0
     kwargs = dict(

@@ -58,6 +58,47 @@ def test_2d_matches(rng_key):
     assert float(scale_normalized_error(got, want)) < 1e-3
 
 
+@pytest.mark.parametrize("n,block", [(96, 32), (256, 64), (100, 64),
+                                     (320, 64), (64, 64)])
+def test_symmetric_matches_oracle(rng_key, n, block):
+    """Newton-3 round-robin kernel vs f64 oracle: even/odd/single block
+    counts, non-divisible N (zero-mass padding), both accumulation sides."""
+    sys = random_system(rng_key, n, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(
+        sys.positions.astype(jnp.float64),
+        sys.masses.astype(jnp.float64), cfg)
+    got = brute_force_pallas(sys.positions, sys.masses, cfg, block_t=block,
+                             mode="symmetric", s_sub=block, interpret=True)
+    assert got.shape == (n, 3)
+    assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+def test_symmetric_2d(rng_key):
+    sys = random_system(rng_key, 384, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = brute_force_pallas(sys.positions, sys.masses, cfg, block_t=128,
+                             mode="symmetric", s_sub=128, interpret=True)
+    assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+def test_symmetric_coincident_guarded(rng_key):
+    """softening=0 forces the reference pair guard through the symmetric
+    path too (coincident distinct bodies must not produce NaN)."""
+    pos = jnp.array([[1.0, 1.0, 1.0]] * 2 + [[5.0, 1.0, 1.0]],
+                    dtype=jnp.float32)
+    pos = jnp.concatenate([pos, jax.random.uniform(
+        rng_key, (61, 3), minval=10.0, maxval=20.0)], axis=0)
+    mass = jnp.ones((64,), jnp.float32)
+    cfg = GravityConfig(G=1.0, softening=0.0)
+    got = brute_force_pallas(pos, mass, cfg, block_t=32, mode="symmetric",
+                             s_sub=32, interpret=True)
+    want = brute_force_direct(pos, mass, cfg)
+    assert np.all(np.isfinite(np.asarray(got)))
+    assert float(scale_normalized_error(got, want)) < 1e-4
+
+
 def test_mxu_mode_tolerance(rng_key):
     """MXU-reduction mode trades ~1e-4 cancellation error for speed."""
     sys = random_system(rng_key, 256, dim=3, dtype=jnp.float32)

@@ -49,6 +49,16 @@ def main():
                                          guard=False, s_sub=4096)),
         ("noguard (256,16k,sub2k)", dict(block_t=256, block_s=16384,
                                          guard=False, s_sub=2048)),
+        ("sym B=1024 sub512", dict(block_t=1024, mode="symmetric",
+                                   guard=False, s_sub=512)),
+        ("sym B=2048 sub512", dict(block_t=2048, mode="symmetric",
+                                   guard=False, s_sub=512)),
+        ("sym B=2048 sub1k", dict(block_t=2048, mode="symmetric",
+                                  guard=False, s_sub=1024)),
+        ("sym B=4096 sub512", dict(block_t=4096, mode="symmetric",
+                                   guard=False, s_sub=512)),
+        ("sym B=2048 sub256", dict(block_t=2048, mode="symmetric",
+                                   guard=False, s_sub=256)),
     ]
     for name, kw in variants:
         def run():
