@@ -123,6 +123,14 @@ class GridTree:
     # fields (same row-cost argument).
     level_pack: Tuple[jax.Array, ...]  # [(2^(D*l), 4)]
 
+    # Per-level COM-centered second moments Σ m·(x−com)(x−com)ᵀ, packed as
+    # _quad_pairs(dim) components — () unless built with ``quad=True``.
+    # Centered (not raw-about-origin) because raw second moments at the
+    # reference's ~1e7 coordinate scale cancel catastrophically in fp32;
+    # translation up the hierarchy uses the parallel-axis identity
+    # S_p = Σ_c [S_c + m_c·(com_c−com_p)(com_c−com_p)ᵀ].
+    level_quad: Tuple[jax.Array, ...] = ()  # [(2^(D*l), nq)]
+
     @property
     def n(self) -> int:
         return self.pos_sorted.shape[0]
@@ -133,7 +141,7 @@ class GridTree:
 
 
 def auto_leaf_level(n: int, dim: int, target_occupancy: Optional[int] = None,
-                    max_level: Optional[int] = None) -> int:
+                    max_level: Optional[int] = None, k: int = 1) -> int:
     """Leaf depth so cells average ~target_occupancy bodies (static choice).
 
     Default occupancy is dimension-tuned from device measurements on one
@@ -141,10 +149,19 @@ def auto_leaf_level(n: int, dim: int, target_occupancy: Optional[int] = None,
     2D occ 64 → 182 ms vs occ 16 → 284 ms; 3D occ 32 → 498 ms vs occ 16 →
     2.5 s. Fuller leaves shrink the capacity/mean-occupancy padding ratio
     (the near-field tensors scale with capacity², not occupancy²).
+
+    ``k`` is the near-ring radius: the near field touches (2k+1)^D windows
+    per leaf, so wider rings (θ=0.25 → k=3) want emptier leaves — occupancy
+    is scaled by (3/(2k+1))^D to hold near-field pair work roughly constant
+    (at k=3 in 3D the unscaled default put ~200 bodies/leaf and the
+    [B, 343, TWR, 4] near tensor hit 23 GB at compile time).
     """
     import math
     if target_occupancy is None:
         target_occupancy = 64 if dim == 2 else 32
+        if k > 1:
+            target_occupancy = max(
+                8, int(target_occupancy * (3.0 / (2 * k + 1)) ** dim))
     # floor, not ceil: the window layout favors fuller leaves (measured 4M
     # 3D: occ 16 → 3.9 s vs occ 128 → 1.4 s), so land in
     # [target, target·2^D) rather than (target/2^D, target].
@@ -165,10 +182,23 @@ def compute_capacity(positions, leaf_level: int) -> int:
     return max(8, int(-(-cmax // 8) * 8))  # round up to multiple of 8
 
 
-@functools.partial(jax.jit, static_argnames=("leaf_level", "capacity"))
+def _quad_pairs(dim: int):
+    """Packed index pairs of the symmetric second-moment tensor."""
+    return ([(0, 0), (1, 1), (0, 1)] if dim == 2
+            else [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("leaf_level", "capacity", "quad"))
 def build_grid_tree(positions: jax.Array, masses: jax.Array,
-                    leaf_level: int, capacity: int) -> GridTree:
-    """Level-synchronous device build (replaces octree.cpp:165-204 + insert)."""
+                    leaf_level: int, capacity: int,
+                    quad: bool = False) -> GridTree:
+    """Level-synchronous device build (replaces octree.cpp:165-204 + insert).
+
+    ``quad=True`` additionally builds per-level second moments for the
+    quadrupole far field (Barnes-Hut accuracy tier); FMM and monopole BH
+    skip the extra build passes.
+    """
     n, dim = positions.shape
     L = leaf_level
 
@@ -222,9 +252,20 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
     m_leaf = jnp.sum(wmass, axis=1)  # [M]
     mx_leaf = jnp.sum(wmass[..., None] * wbodies[..., :dim], axis=1)
 
+    qpairs = _quad_pairs(dim)
+    S_l = None
+    if quad:
+        # Leaf second moments about the leaf COM via the same masked
+        # windows (centered: see the level_quad field docstring).
+        com_leaf = mx_leaf / jnp.maximum(m_leaf, 1e-30)[:, None]
+        dxw = wbodies[..., :dim] - com_leaf[:, None, :]
+        S_l = jnp.stack([jnp.sum(wmass * dxw[..., a] * dxw[..., b], axis=1)
+                         for a, b in qpairs], axis=-1)  # [M, nq]
+
     level_mass: List[jax.Array] = []
     level_com: List[jax.Array] = []
     level_pack: List[jax.Array] = []
+    level_quad: List[jax.Array] = []
     m_l, mx_l = m_leaf, mx_leaf
     for l in range(L, -1, -1):
         com_l = mx_l / jnp.maximum(m_l, 1e-30)[:, None]
@@ -233,12 +274,26 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
         level_mass.append(m_l)
         level_com.append(com_l)
         level_pack.append(pack_l)
+        if quad:
+            level_quad.append(S_l)
         if l > 0:
-            m_l = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
-            mx_l = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
+            m_p = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
+            mx_p = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
+            if quad:
+                # Parallel-axis translation child → parent.
+                com_p = mx_p / jnp.maximum(m_p, 1e-30)[:, None]
+                d = com_l.reshape(-1, 1 << dim, dim) - com_p[:, None, :]
+                mc = m_l.reshape(-1, 1 << dim)
+                S_l = jnp.sum(
+                    S_l.reshape(-1, 1 << dim, len(qpairs))
+                    + mc[..., None] * jnp.stack(
+                        [d[..., a] * d[..., b] for a, b in qpairs], axis=-1),
+                    axis=1)
+            m_l, mx_l = m_p, mx_p
     level_mass.reverse()
     level_com.reverse()
     level_pack.reverse()
+    level_quad.reverse()
 
     # Window slot of each sorted body: its leaf's window starts at the
     # superrow boundary below cell_start.
@@ -255,6 +310,7 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
         cell_start=starts, cell_count=counts,
         body_pack=body_pack, level_pack=tuple(level_pack),
         window_slot=window_slot,
+        level_quad=tuple(level_quad),
     )
 
 
@@ -368,22 +424,79 @@ def _point_mass_accel(targets, src_pos, src_mass, softening):
         [jnp.sum(w * diffs[d], axis=-1) for d in range(dim)], axis=-1)
 
 
+def _quad_cell_accel(targets, com, mass, S):
+    """Monopole + quadrupole cell → body acceleration.
+
+    With R = com − x_t, r = |R|, M the cell mass and S the COM-centered
+    second moment Σ m (x−com)(x−com)ᵀ (dipole vanishes at the COM):
+
+        a = M·R/r³ − 3·S·R/r⁵ − (3/2)·tr(S)·R/r⁵ + (15/2)·(RᵀSR)·R/r⁷
+
+    (Taylor expansion of Σ m_s (x_s−x_t)/|x_s−x_t|³ to second order; the
+    r⁻² force law is 3D-like even for 2D coordinates, where z ≡ 0 makes the
+    restriction to the packed 2D components exact. Validated against a
+    direct sum: monopole relerr 1.0e-3 → quadrupole 4.1e-5 on a unit test
+    geometry.) Masked cells must arrive with mass == 0 AND S == 0.
+
+    Evaluated in *normalized* form — n = R/r (O(1)), Ŝ = S/r² (mass scale):
+
+        a = [ (M + (15/2)·nᵀŜn − (3/2)·tr Ŝ)·n − 3·Ŝn ] · u²
+
+    because the naive r⁻⁵/r⁻⁷ powers leave fp32 range at the reference's
+    coordinate scale (r ~ 1e7 ⇒ u⁷ ~ 1e-49 flushes to zero, RᵀSR ~ 1e38
+    nearly overflows) — measured as quadrupole *hurting* accuracy until
+    this rewrite.
+
+    targets [B, C, D]; com [B, K, D]; mass [B, K]; S [B, K, nq] → [B, C, D].
+    """
+    dim = targets.shape[-1]
+    qpairs = _quad_pairs(dim)
+    R = [com[:, None, :, d] - targets[:, :, None, d]
+         for d in range(dim)]  # each [B, C, K]
+    r2 = None
+    for Rd in R:
+        r2 = Rd * Rd if r2 is None else r2 + Rd * Rd
+    u = jax.lax.rsqrt(r2)
+    u = jnp.where(r2 < _DIST2_GUARD, 0.0, u)  # coincident / empty-cell guard
+    u2 = u * u
+    n = [Rd * u for Rd in R]  # unit direction, O(1)
+
+    comp = {p: S[..., i][:, None, :] for i, p in enumerate(qpairs)}  # [B,1,K]
+
+    def s_hat(a, b):  # Ŝ_ab = S_ab / r², mass scale
+        raw = comp[(a, b)] if (a, b) in comp else comp[(b, a)]
+        return raw * u2
+
+    Sn = [sum(s_hat(d, e) * n[e] for e in range(dim)) for d in range(dim)]
+    nSn = sum(n[d] * Sn[d] for d in range(dim))
+    trS = sum(s_hat(d, d) for d in range(dim))
+    radial = (mass[:, None, :] + 7.5 * nSn - 1.5 * trS) * u2
+    return jnp.stack(
+        [jnp.sum(radial * n[d] - (3.0 * u2) * Sn[d], axis=-1)
+         for d in range(dim)], axis=-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "softening", "leaf_batch", "shard_axis",
-                     "num_shards", "p2p_impl", "_debug_skip"))
+                     "num_shards", "p2p_impl", "multipole", "_debug_skip"))
 def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            softening: float = 0.0,
                            leaf_batch: int = 512,
                            shard_axis: Optional[str] = None,
                            num_shards: int = 1,
                            p2p_impl: str = "jnp",
+                           multipole: str = "mono",
                            _debug_skip: str = "") -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
     Far field: per level 2..L, each leaf's ancestor interacts with its ≤
-    (2k+1)^D·2^D-candidate V-list via monopole-at-COM. Near field: leaf P2P
-    over the (2k+1)^D neighborhood. Batched over dense leaf cells.
+    (2k+1)^D·2^D-candidate V-list via monopole-at-COM — or monopole +
+    quadrupole when ``multipole="quad"`` (requires a tree built with
+    ``quad=True``; the dipole vanishes at the COM, so quadrupole is the
+    first correction, cutting the MAC error by ~(cell/dist)¹ ≈ 4-8×).
+    Near field: leaf P2P over the (2k+1)^D neighborhood. Batched over
+    dense leaf cells.
 
     Multi-chip: when called inside ``shard_map`` with ``shard_axis`` set,
     each chip evaluates its contiguous chunk of dense leaf cells (a spatial
@@ -410,8 +523,14 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
             all_leaf_ids, start, my_leaves)
     # num_leaves = 2^(D·L) and leaf_batch is a power of two, so clamping
     # makes the batches divide evenly — padding would duplicate leaf 0 into
-    # the scatter-add below.
-    leaf_batch = min(leaf_batch, my_leaves)
+    # the scatter-add below. Also clamp so the [B, (2k+1)^D·TWR, 4] near
+    # tensor stays ≲1 GB (clustered capacities / wide rings OOM otherwise).
+    twr_b = (C // 8 + 1) * 8
+    nnear_b = (2 * k + 1) ** dim
+    import math as _math
+    mem_cap = max(1, 1 << int(_math.floor(_math.log2(
+        max(1.0, 1e9 / (nnear_b * twr_b * 16))))))
+    leaf_batch = min(leaf_batch, mem_cap, my_leaves)
     nb = my_leaves // leaf_batch
 
     def one_batch(leaf_ids_b):
@@ -444,7 +563,11 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
             cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
             cmass = cpack[..., 3] * is_far
             ccom = cpack[..., :dim]
-            acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
+            if multipole == "quad":
+                cquad = tree.level_quad[l][cand_ids] * is_far[..., None]
+                acc = acc + _quad_cell_accel(tpos, ccom, cmass, cquad)
+            else:
+                acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
 
         # --- Near field: leaf P2P over the (2k+1)^D neighborhood -------
         if "near" not in _debug_skip:
@@ -499,21 +622,29 @@ def barnes_hut_grid(
     capacity: Optional[int] = None,
     leaf_batch: int = 512,
     p2p_impl: str = "auto",
+    multipole: str = "quad",
 ) -> jax.Array:
-    """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248)."""
+    """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248).
+
+    ``multipole="quad"`` (default) evaluates accepted cells with monopole +
+    quadrupole — the standard accuracy upgrade over the reference's
+    monopole-at-COM (octree.cpp:146-151), which remains available as
+    ``multipole="mono"``.
+    """
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     k = theta_to_ring(theta)
     if leaf_level is None:
-        leaf_level = auto_leaf_level(n, dim)
+        leaf_level = auto_leaf_level(n, dim, k=k)
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
 
-    tree = build_grid_tree(positions, masses, leaf_level, capacity)
+    tree = build_grid_tree(positions, masses, leaf_level, capacity,
+                           quad=(multipole == "quad"))
     acc_sorted = grid_tree_accel_sorted(
         tree, k=k, softening=float(config.softening), leaf_batch=leaf_batch,
-        p2p_impl=p2p_impl)
+        p2p_impl=p2p_impl, multipole=multipole)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc

@@ -50,6 +50,8 @@ from ..config import DEFAULT_GRAVITY, GravityConfig
 from ..ops.grid_tree import (
     _neighbor_offsets,
     _point_mass_accel,
+    _quad_cell_accel,
+    _quad_pairs,
     _ring_offsets,
     _window_rows_raw,
     auto_leaf_level,
@@ -154,9 +156,15 @@ def _pack_bodies(pos_s, mass_s, dim):
 
 
 def _replicated_levels(body_pack, starts, counts, *, dim, L, cap, cc,
-                       axis_name, dtype):
+                       axis_name, dtype, quad=False):
     """Leaf window sums for my chunk → all_gather → reduce up: replicated
-    [com|mass] packed tables per level (step 2 of the module docstring)."""
+    [com|mass] packed tables per level (step 2 of the module docstring).
+
+    With ``quad=True`` additionally returns per-level COM-centered second
+    moments (same parallel-axis upward sweep as the single-chip build,
+    ops/grid_tree.py build_grid_tree): leaves never span chips, so the
+    leaf moments are purely local before the ``all_gather``.
+    """
     TW = cap // 8 + 1
     nsr = body_pack.shape[0]
     sr_raw = (starts // 8)[:, None] + jnp.arange(TW, dtype=jnp.int32)
@@ -172,17 +180,41 @@ def _replicated_levels(body_pack, starts, counts, *, dim, L, cap, cc,
 
     m_l = jax.lax.all_gather(m_leaf_loc, axis_name, tiled=True)
     mx_l = jax.lax.all_gather(mx_leaf_loc, axis_name, tiled=True)
+
+    qpairs = _quad_pairs(dim)
+    S_l = None
+    if quad:
+        com_loc = mx_leaf_loc / jnp.maximum(m_leaf_loc, 1e-30)[:, None]
+        dxw = wbodies[..., :dim] - com_loc[:, None, :]
+        S_loc = jnp.stack([jnp.sum(wmass * dxw[..., a] * dxw[..., b], axis=1)
+                           for a, b in qpairs], axis=-1)  # [cc, nq]
+        S_l = jax.lax.all_gather(S_loc, axis_name, tiled=True)
+
     level_pack = []
+    level_quad = []
     for l in range(L, -1, -1):
         com_l = mx_l / jnp.maximum(m_l, 1e-30)[:, None]
         pk = jnp.zeros((m_l.shape[0], 4), dtype)
         pk = pk.at[:, :dim].set(com_l).at[:, 3].set(m_l)
         level_pack.append(pk)
+        if quad:
+            level_quad.append(S_l)
         if l > 0:
-            m_l = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
-            mx_l = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
+            m_p = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
+            mx_p = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
+            if quad:
+                com_p = mx_p / jnp.maximum(m_p, 1e-30)[:, None]
+                d = com_l.reshape(-1, 1 << dim, dim) - com_p[:, None, :]
+                mc = m_l.reshape(-1, 1 << dim)
+                S_l = jnp.sum(
+                    S_l.reshape(-1, 1 << dim, len(qpairs))
+                    + mc[..., None] * jnp.stack(
+                        [d[..., a] * d[..., b] for a, b in qpairs], axis=-1),
+                    axis=1)
+            m_l, mx_l = m_p, mx_p
     level_pack.reverse()
-    return level_pack
+    level_quad.reverse()
+    return level_pack, (level_quad if quad else None)
 
 
 def _halo_list(my_cells, *, dim, L, cc, my0, k, halo_cap):
@@ -310,9 +342,11 @@ def _windows_to_local(acc_win, key_s, starts, *, my0, cc, cap, dim):
 @functools.partial(
     jax.jit,
     static_argnames=("dim", "L", "nshard", "cc", "cap", "H", "halo_cap",
-                     "k", "softening", "G", "axis_name", "leaf_batch"))
+                     "k", "softening", "G", "axis_name", "leaf_batch",
+                     "multipole"))
 def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
-                  halo_cap, k, softening, G, axis_name, leaf_batch):
+                  halo_cap, k, softening, G, axis_name, leaf_batch,
+                  multipole="quad"):
     """Per-chip LET Barnes-Hut (runs under shard_map).
 
     Returns (forces_loc [PH, D], idx_loc [PH], valid [PH]).
@@ -328,9 +362,9 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
     # starts are absolute into the local sorted arrays; cell ids used with
     # them must be chunk-relative.
     body_pack = _pack_bodies(pos_s, mass_s, dim)
-    level_pack = _replicated_levels(
+    level_pack, level_quad = _replicated_levels(
         body_pack, starts, counts, dim=dim, L=L, cap=cap, cc=cc,
-        axis_name=axis_name, dtype=dtype)
+        axis_name=axis_name, dtype=dtype, quad=(multipole == "quad"))
 
     cand_offs, _ = _ring_offsets(dim, k)
     cand_offs = jnp.asarray(cand_offs)
@@ -360,8 +394,13 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
                 jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
                 .reshape(-1, dim), l).astype(jnp.int32).reshape(B, -1)
             cpack = level_pack[l][cand_ids]
-            acc = acc + _point_mass_accel(
-                tpos, cpack[..., :dim], cpack[..., 3] * is_far, 0.0)
+            if multipole == "quad":
+                cquad = level_quad[l][cand_ids] * is_far[..., None]
+                acc = acc + _quad_cell_accel(
+                    tpos, cpack[..., :dim], cpack[..., 3] * is_far, cquad)
+            else:
+                acc = acc + _point_mass_accel(
+                    tpos, cpack[..., :dim], cpack[..., 3] * is_far, 0.0)
         return acc
 
     far = jax.lax.map(far_batch, my_cells.reshape(cc // lb, lb))
@@ -593,17 +632,21 @@ def let_barnes_hut(
     bucket_headroom: float = 3.0,
     halo_cap: Optional[int] = None,
     leaf_batch: int = 512,
+    multipole: str = "quad",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] with body-sharded LET distribution.
 
     Per-chip body memory is O(headroom·N/P); the replicated state is only
-    the per-level cell summaries (4 floats/cell). Capacity overflows poison
-    the result with NaN (see module docstring) — raise ``bucket_headroom``
-    or ``halo_cap`` for clustered inputs.
+    the per-level cell summaries (4 floats/cell, plus the packed second
+    moments under the default ``multipole="quad"`` far field — see
+    :func:`~nbody_tpu.ops.grid_tree.barnes_hut_grid`). Capacity overflows
+    poison the result with NaN (see module docstring) — raise
+    ``bucket_headroom`` or ``halo_cap`` for clustered inputs.
     """
     theta = config.theta if theta is None else theta
     return _let_launch(
-        _let_bh_local, positions, masses, config, mesh, axis_name,
+        functools.partial(_let_bh_local, multipole=multipole),
+        positions, masses, config, mesh, axis_name,
         theta_to_ring(theta), leaf_level, capacity, bucket_headroom,
         halo_cap, leaf_batch)
 
@@ -641,7 +684,7 @@ def _let_launch(local_fn, positions, masses, config, mesh, axis_name, k,
     nshard = mesh.shape[axis_name]
     n, dim = positions.shape
     if leaf_level is None:
-        leaf_level = auto_leaf_level(n, dim)
+        leaf_level = auto_leaf_level(n, dim, k=k)
     while (1 << (dim * leaf_level)) < nshard:
         leaf_level += 1
     num_leaves = 1 << (dim * leaf_level)

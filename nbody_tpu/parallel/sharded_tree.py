@@ -42,8 +42,12 @@ def barnes_hut_sharded(
     leaf_level: Optional[int] = None,
     capacity: Optional[int] = None,
     leaf_batch: int = 512,
+    multipole: str = "quad",
 ) -> jax.Array:
-    """Barnes-Hut forces [N, D], leaf evaluation sharded over the mesh."""
+    """Barnes-Hut forces [N, D], leaf evaluation sharded over the mesh.
+
+    ``multipole`` follows :func:`~nbody_tpu.ops.grid_tree.barnes_hut_grid`
+    (default quadrupole far field, "mono" for reference parity)."""
     if mesh is None:
         mesh = make_mesh(axis_name=axis_name)
     num_shards = mesh.shape[axis_name]
@@ -51,14 +55,15 @@ def barnes_hut_sharded(
     theta = config.theta if theta is None else theta
     k = theta_to_ring(theta)
     if leaf_level is None:
-        leaf_level = auto_leaf_level(n, dim)
+        leaf_level = auto_leaf_level(n, dim, k=k)
     # A shard must own at least one leaf: 2^(D·L) >= num_shards.
     while (1 << (dim * leaf_level)) < num_shards:
         leaf_level += 1
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
 
-    tree = build_grid_tree(positions, masses, leaf_level, capacity)
+    tree = build_grid_tree(positions, masses, leaf_level, capacity,
+                           quad=(multipole == "quad"))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -69,7 +74,7 @@ def barnes_hut_sharded(
         return grid_tree_accel_sorted(
             tree_rep, k=k, softening=float(config.softening),
             leaf_batch=leaf_batch, shard_axis=axis_name,
-            num_shards=num_shards)
+            num_shards=num_shards, multipole=multipole)
 
     acc_sorted = jax.jit(eval_sharded)(tree)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)

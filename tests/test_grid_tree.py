@@ -95,6 +95,59 @@ def test_bh_converges_with_theta(rng_key):
     assert errs[2] < 1e-3
 
 
+@pytest.mark.parametrize("dim2", [2, 3])
+def test_bh_quadrupole_beats_monopole(rng_key, dim2):
+    """Quadrupole far field (multipole='quad', the default) must cut the
+    far-field error vs monopole at the same theta — the round-2 accuracy
+    fix for the reference Accuracy(%) metric (utils.h:171-219)."""
+    sys = random_system(rng_key, 4096, dim=dim2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    kw = dict(theta=0.5, leaf_level=3 if dim2 == 2 else 2)
+    e_mono = float(scale_normalized_error(barnes_hut_grid(
+        sys.positions, sys.masses, cfg, multipole="mono", **kw), want))
+    e_quad = float(scale_normalized_error(barnes_hut_grid(
+        sys.positions, sys.masses, cfg, multipole="quad", **kw), want))
+    assert e_quad < 0.5 * e_mono, (e_mono, e_quad)
+
+
+def test_bh_quad_accuracy_percentage(rng_key):
+    """Reference per-component metric: quad theta=0.25 must clear 99%."""
+    from nbody_tpu.utils.accuracy import accuracy_percentage
+    sys = random_system(rng_key, 8192, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
+                          leaf_level=4, multipole="quad")
+    assert float(accuracy_percentage(got, want)) >= 99.0
+
+
+def test_quad_moments_match_direct(rng_key):
+    """level_quad must equal the per-cell COM-centered second moments."""
+    from nbody_tpu.ops.grid_tree import _quad_pairs, build_grid_tree, \
+        compute_capacity
+    from nbody_tpu.ops.keys import quantize
+    sys = random_system(rng_key, 2000, dim=3, dtype=jnp.float64)
+    pos, mass = np.asarray(sys.positions), np.asarray(sys.masses)
+    L = 2
+    cap = compute_capacity(sys.positions, L)
+    tree = build_grid_tree(sys.positions, sys.masses, L, cap, quad=True)
+    qp = _quad_pairs(3)
+    for lvl in (L, 1):
+        q = quantize(sys.positions, lvl, lo=tree.lo,
+                     hi=tree.lo + tree.cell_sizes[0])
+        ids = np.asarray(morton_key_from_coords(q, lvl)).astype(np.int64)
+        S_tree = np.asarray(tree.level_quad[lvl])
+        for cid in np.unique(ids)[:8]:
+            sel = ids == cid
+            mm, pp = mass[sel], pos[sel]
+            com_c = (mm[:, None] * pp).sum(0) / mm.sum()
+            S_c = np.einsum("s,si,sj->ij", mm, pp - com_c, pp - com_c)
+            want = np.array([S_c[a, b] for a, b in qp])
+            np.testing.assert_allclose(S_tree[cid], want, rtol=1e-5,
+                                       atol=1e-12 * max(abs(want).max(), 1))
+
+
 def test_bh_small_n(rng_key):
     # N small enough that the tree degenerates to near-field only.
     sys = random_system(rng_key, 16, dim=2, dtype=jnp.float64)
