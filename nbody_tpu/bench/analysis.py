@@ -95,7 +95,9 @@ def speedup_table(agg: Dict[Key, dict],
 
 
 def maybe_plot(agg: Dict[Key, dict], results_dir: str):
-    """Log-log runtime plots per dimension (performance_plot_*.png parity)."""
+    """Runtime plots per dimension: log-log AND linear scale
+    (``performance_plot_{2D,3D}.png`` + ``performance_plot_*_linear.png``
+    parity with the reference notebook cells 8-10)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -109,21 +111,65 @@ def maybe_plot(agg: Dict[Key, dict], results_dir: str):
                 series[method].append((n, row["Time(s)"]))
         if not series:
             continue
-        fig, ax = plt.subplots(figsize=(8, 5))
-        for method, pts in sorted(series.items()):
-            pts.sort()
-            ax.plot([p[0] for p in pts], [p[1] for p in pts],
-                    marker="o", label=method)
-        ax.set_xscale("log")
-        ax.set_yscale("log")
-        ax.set_xlabel("N bodies")
-        ax.set_ylabel("Time (s)")
-        ax.set_title(f"{dim}D force-evaluation runtime")
-        ax.legend(fontsize=7)
-        fig.tight_layout()
-        fig.savefig(os.path.join(results_dir,
-                                 f"performance_plot_{dim}D.png"), dpi=120)
-        plt.close(fig)
+        for scale in ("log", "linear"):
+            fig, ax = plt.subplots(figsize=(8, 5))
+            for method, pts in sorted(series.items()):
+                pts.sort()
+                ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                        marker="o", label=method)
+            if scale == "log":
+                ax.set_xscale("log")
+                ax.set_yscale("log")
+            ax.set_xlabel("N bodies")
+            ax.set_ylabel("Time (s)")
+            ax.set_title(f"{dim}D force-evaluation runtime ({scale} scale)")
+            ax.legend(fontsize=7)
+            fig.tight_layout()
+            suffix = "" if scale == "log" else "_linear"
+            fig.savefig(os.path.join(
+                results_dir, f"performance_plot_{dim}D{suffix}.png"), dpi=120)
+            plt.close(fig)
+
+
+def ratio_heatmap_3d_vs_2d(agg: Dict[Key, dict], results_dir: str):
+    """Method × N heatmap of Time(3D)/Time(2D)
+    (``3D_vs_2D_ratio_heatmap.png`` parity with notebook cells 10-12)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+    except ImportError:
+        return
+    pairs = {}
+    for (n, method, d), row in agg.items():
+        other = agg.get((n, method, 5 - d))
+        if d == 3 and other is not None:
+            pairs[(method, n)] = row["Time(s)"] / max(other["Time(s)"], 1e-12)
+    if not pairs:
+        return
+    methods = sorted({m for m, _ in pairs})
+    sizes = sorted({n for _, n in pairs})
+    grid = np.full((len(methods), len(sizes)), np.nan)
+    for (m, n), v in pairs.items():
+        grid[methods.index(m), sizes.index(n)] = v
+    fig, ax = plt.subplots(
+        figsize=(1.2 + 1.1 * len(sizes), 0.8 + 0.45 * len(methods)))
+    im = ax.imshow(grid, cmap="coolwarm", aspect="auto")
+    ax.set_xticks(range(len(sizes)), [f"{s:g}" for s in sizes])
+    ax.set_yticks(range(len(methods)), methods, fontsize=7)
+    for i in range(len(methods)):
+        for j in range(len(sizes)):
+            if np.isfinite(grid[i, j]):
+                ax.text(j, i, f"{grid[i, j]:.2f}", ha="center",
+                        va="center", fontsize=6)
+    ax.set_xlabel("N bodies")
+    ax.set_title("3D / 2D runtime ratio")
+    fig.colorbar(im, ax=ax, label="T(3D)/T(2D)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(results_dir, "3D_vs_2D_ratio_heatmap.png"),
+                dpi=120)
+    plt.close(fig)
 
 
 def speedup_heatmap(agg: Dict[Key, dict], results_dir: str,
@@ -183,6 +229,7 @@ def main(argv=None) -> int:
               f"{s['Method']:<24} speedup {s['Speedup']:.2f}x")
     maybe_plot(agg, results_dir)
     speedup_heatmap(agg, results_dir)
+    ratio_heatmap_3d_vs_2d(agg, results_dir)
     return 0
 
 

@@ -23,7 +23,7 @@ QUICK_SIZES = (1_000, 10_000)
 
 def run_sweep(sizes=SWEEP_SIZES, accuracy_sizes=ACCURACY_SIZES,
               dims=(2, 3), tiers="abhf", results_dir="results",
-              seed=0, warmup=1):
+              seed=0, warmup=1, run_id=None):
     import jax
 
     from .. import GravityConfig, random_system
@@ -31,7 +31,7 @@ def run_sweep(sizes=SWEEP_SIZES, accuracy_sizes=ACCURACY_SIZES,
     from .harness import get_run_id, run_benchmark
     from .registry import methods_for_tiers
 
-    run_id = get_run_id()
+    run_id = run_id or get_run_id()
     all_results = []
     configs = [(n, d, False) for n in sizes for d in dims]
     configs += [(n, d, True) for n in accuracy_sizes for d in dims]
@@ -67,13 +67,40 @@ def main(argv=None) -> int:
     p.add_argument("--results-dir", default="results")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--sizes", default=None,
+                   help="comma-separated N override (one-config chunking: "
+                        "a crashed TPU worker then only loses one config, "
+                        "not the whole matrix)")
+    p.add_argument("--dims", default="2,3")
+    p.add_argument("--accuracy", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="'auto' = reference matrix (accuracy-on extra runs "
+                        "for the first four sizes); 'on'/'off' force it for "
+                        "the given --sizes (chunked driving)")
+    p.add_argument("--run-id", default=None,
+                   help="shared CSV run id across chunked invocations")
     args = p.parse_args(argv)
 
-    sizes = QUICK_SIZES if args.quick else SWEEP_SIZES
-    acc_sizes = QUICK_SIZES if args.quick else ACCURACY_SIZES
-    results = run_sweep(sizes=sizes, accuracy_sizes=acc_sizes,
-                        tiers=args.tiers, results_dir=args.results_dir,
-                        seed=args.seed, warmup=args.warmup)
+    if args.sizes is not None:
+        sizes = tuple(int(float(s)) for s in args.sizes.split(","))
+    else:
+        sizes = QUICK_SIZES if args.quick else SWEEP_SIZES
+    if args.accuracy == "auto":
+        acc_sizes = tuple(n for n in sizes if n in ACCURACY_SIZES) \
+            if args.sizes is not None else \
+            (QUICK_SIZES if args.quick else ACCURACY_SIZES)
+        base_sizes = sizes
+    elif args.accuracy == "on":
+        base_sizes, acc_sizes = (), sizes
+    else:
+        base_sizes, acc_sizes = sizes, ()
+    dims = tuple(int(d) for d in args.dims.split(","))
+
+    results = run_sweep(sizes=base_sizes, accuracy_sizes=acc_sizes,
+                        dims=dims, tiers=args.tiers,
+                        results_dir=args.results_dir,
+                        seed=args.seed, warmup=args.warmup,
+                        run_id=args.run_id)
     failed = [r for r in results if r.time_s < 0]
     print(f"\nsweep complete: {len(results)} method-runs, {len(failed)} failed")
     return 0

@@ -164,5 +164,47 @@ def potential_energy(
     return -0.5 * jnp.asarray(config.G, d2.dtype) * jnp.sum(pair)
 
 
+@functools.partial(jax.jit, static_argnames=("G", "softening", "block_size"))
+def _pe_blocked_impl(positions, masses, *, G, softening, block_size):
+    n, dim = positions.shape
+    n_pad = -(-n // block_size) * block_size
+    pos_p = jnp.pad(positions, ((0, n_pad - n), (0, 0)))
+    m_p = jnp.pad(masses, (0, n_pad - n))
+    soft2 = jnp.asarray(softening, positions.dtype) ** 2
+    idx = jnp.arange(n_pad)
+
+    def row_block(i0):
+        tp = jax.lax.dynamic_slice_in_dim(pos_p, i0, block_size)
+        tm = jax.lax.dynamic_slice_in_dim(m_p, i0, block_size)
+        d2 = None
+        for d in range(dim):
+            diff = pos_p[None, :, d] - tp[:, None, d]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        inv_r = jax.lax.rsqrt(d2 + soft2)
+        ti = i0 + jnp.arange(block_size)
+        # Skip self-pairs and coincident pairs (zero-mass padding bodies
+        # all sit at the origin; 0·inf would poison the sum).
+        skip = (ti[:, None] == idx[None, :]) | (d2 < _DIST2_GUARD)
+        pair = jnp.where(skip, 0.0, tm[:, None] * m_p[None, :] * inv_r)
+        return jnp.sum(pair)
+
+    starts = jnp.arange(n_pad // block_size) * block_size
+    total = jnp.sum(jax.lax.map(row_block, starts))
+    return -0.5 * jnp.asarray(G, positions.dtype) * total
+
+
+def potential_energy_blocked(
+    positions: jax.Array,
+    masses: jax.Array,
+    config: GravityConfig = DEFAULT_GRAVITY,
+    block_size: int = 1024,
+) -> jax.Array:
+    """:func:`potential_energy` in [B, N] row tiles — scales to N ≥ 1e6
+    (the dense version materializes the full (N, N) distance matrix)."""
+    return _pe_blocked_impl(positions, masses, G=float(config.G),
+                            softening=float(config.softening),
+                            block_size=block_size)
+
+
 def kinetic_energy(velocities: jax.Array, masses: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(masses * jnp.sum(velocities * velocities, axis=-1))
