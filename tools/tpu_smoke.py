@@ -25,25 +25,30 @@ from nbody_tpu.config import DEFAULT_TREE
 from nbody_tpu.ops.brute_force import brute_force_blocked
 from nbody_tpu.utils.accuracy import scale_normalized_error
 
-# Per-method error budgets (scale-normalized, fp32, vs fp32 oracle),
-# set to ~3× the errors measured on the real v5e chip at N=20000 2D
-# (2026-08, round 2) so a ≥10× numerics regression on any method fails:
-#   BruteForce_Pallas 1.44e-5, BarnesHut_Grid 1.14e-5, Theta05 2.04e-5,
-#   BVH_Radix 1.44e-5, FMM_Chebyshev 2.10e-5, BruteForce_JNP == oracle.
+# Per-(method, dim) error budgets (scale-normalized, fp32, vs fp32 oracle),
+# set to ~3× the errors measured on the real v5e chip at N=20000
+# (2026-08, round 2) so a ≥10× numerics regression on any method fails.
+# Measured 2D: BruteForce_Pallas 1.44e-5, BarnesHut_Grid 1.61e-5, Theta05
+#   2.04e-5, BVH_Radix 1.44e-5, FMM_Chebyshev 2.10e-5.
+# Measured 3D: Pallas 2.06e-5, BH_Grid 7.61e-5, Theta05 3.03e-3, BVH
+#   4.76e-4, FMM 2.46e-4. The 3D tree errors are genuinely larger — the
+#   metric is a MAX over bodies, and the 3D far-field tail has unlucky
+#   bodies near accepted-cell boundaries; CPU f32 reproduces the same
+#   values to ~1% (so this is algorithmic, not backend numerics).
 BUDGETS = {
-    "BruteForce_JNP": 1e-7,   # is (a blocking of) the oracle itself
-    "BruteForce": 5e-5,
-    "BarnesHut_Grid_Theta05": 7e-5,
-    "BarnesHut": 4e-5,
-    "BVH": 5e-5,
-    "FMM": 7e-5,
+    "BruteForce_JNP": {2: 1e-7, 3: 1e-7},  # is a blocking of the oracle
+    "BruteForce": {2: 5e-5, 3: 7e-5},
+    "BarnesHut_Grid_Theta05": {2: 7e-5, 3: 1e-2},
+    "BarnesHut": {2: 5e-5, 3: 2.5e-4},
+    "BVH": {2: 5e-5, 3: 1.5e-3},
+    "FMM": {2: 7e-5, 3: 8e-4},
 }
 
 
-def budget_for(name: str) -> float:
+def budget_for(name: str, dim: int) -> float:
     for prefix, b in BUDGETS.items():  # most-specific prefix listed first
         if name.startswith(prefix):
-            return b
+            return b[dim]
     return 1e-4
 
 
@@ -72,7 +77,7 @@ def main() -> int:
             print(f"  {m.name:<28} ERROR {type(e).__name__}: {e}")
             failed.append(m.name)
             continue
-        b = budget_for(m.name)
+        b = budget_for(m.name, args.dim)
         ok = err <= b
         print(f"  {m.name:<28} err={err:.3e}  budget={b:.0e}  "
               f"{'OK' if ok else 'FAIL'}")
