@@ -135,6 +135,20 @@ def test_sweep_quick(tmp_path):
     assert list(tmp_path.glob("run_*_N_64_2D.csv"))
 
 
+def test_sweep_chunked_cli(tmp_path):
+    """The per-config chunk flags used by tools/run_full_sweep.py: explicit
+    --sizes/--dims/--accuracy/--run-id must produce the named CSV."""
+    from nbody_tpu.bench.sweep import main as sweep_main
+    rc = sweep_main(["--sizes", "64", "--dims", "2", "--accuracy", "on",
+                     "--tiers", "a", "--results-dir", str(tmp_path),
+                     "--run-id", "chunk1", "--warmup", "0"])
+    assert rc == 0
+    csv = tmp_path / "run_chunk1_N_64_2D.csv"
+    assert csv.exists()
+    header = csv.read_text().splitlines()[0]
+    assert "Accuracy(%)" in header  # --accuracy on forced the extra columns
+
+
 def test_profiling_trace_noop_and_dir(tmp_path):
     from nbody_tpu.utils.profiling import trace
     with trace(None):
