@@ -57,16 +57,19 @@ def main() -> int:
 
     os.makedirs(os.path.join(REPO, args.results_dir), exist_ok=True)
     t_start = time.time()
-    failures = []
-    for i, (n, dim, acc, tiers) in enumerate(configs):
+
+    def run_one(cfg, attempt):
+        n, dim, acc, tiers = cfg
         label = f"N={n} dim={dim} accuracy={int(acc)} tiers={tiers}"
-        print(f"[{i + 1}/{len(configs)}] {label} "
+        print(f"[attempt {attempt}] {label} "
               f"(t+{time.time() - t_start:.0f}s)", flush=True)
-        # Distinct run ids per (accuracy, tier-chunk): the CSV filename is
-        # run_<id>_N_<n>_<dim>D.csv opened "w", so chunks sharing (N, dim)
-        # would otherwise overwrite each other.
+        # Distinct run ids per (accuracy, tier-chunk, attempt): the CSV
+        # filename is run_<id>_N_<n>_<dim>D.csv opened "w", so chunks
+        # sharing (N, dim) would otherwise overwrite each other. The
+        # aggregator merges all CSVs and averages repeats.
         run_id = ("r2acc" if acc else "r2full") + (
-            tiers if tiers != args.tiers else "")
+            tiers if tiers != args.tiers else "") + (
+            f"x{attempt}" if attempt > 1 else "")
         cmd = [sys.executable, "-m", "nbody_tpu.bench.sweep",
                "--sizes", str(n), "--dims", str(dim),
                "--accuracy", "on" if acc else "off",
@@ -76,16 +79,32 @@ def main() -> int:
         try:
             r = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
             if r.returncode != 0:
-                failures.append((label, f"exit {r.returncode}"))
                 print(f"  FAILED: exit {r.returncode}", flush=True)
+                return f"exit {r.returncode}"
         except subprocess.TimeoutExpired:
-            failures.append((label, "timeout"))
             print(f"  TIMEOUT after {args.timeout:.0f}s", flush=True)
+            return "timeout"
+        return None
+
+    failures = []
+    for i, cfg in enumerate(configs):
+        print(f"[{i + 1}/{len(configs)}]", end=" ", flush=True)
+        why = run_one(cfg, 1)
+        if why is not None:
+            failures.append((cfg, why))
+
+    # A relay wedge (orphaned compile joined by retries — CLAUDE.md
+    # gotchas) self-heals in ~45-60 min; retry failed configs once at the
+    # END of the matrix so recovery time has elapsed naturally.
+    if failures:
+        print(f"\nretrying {len(failures)} failed configs ...", flush=True)
+        failures = [(cfg, run_one(cfg, 2)) for cfg, _ in failures]
+        failures = [(cfg, why) for cfg, why in failures if why is not None]
 
     print(f"\nsweep matrix done in {time.time() - t_start:.0f}s; "
           f"{len(failures)} config failures")
-    for label, why in failures:
-        print(f"  {label}: {why}")
+    for (n, dim, acc, tiers), why in failures:
+        print(f"  N={n} dim={dim} acc={int(acc)} tiers={tiers}: {why}")
     return 0
 
 
