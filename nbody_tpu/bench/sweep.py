@@ -23,7 +23,7 @@ QUICK_SIZES = (1_000, 10_000)
 
 def run_sweep(sizes=SWEEP_SIZES, accuracy_sizes=ACCURACY_SIZES,
               dims=(2, 3), tiers="abhf", results_dir="results",
-              seed=0, warmup=1, run_id=None):
+              seed=0, warmup=1, run_id=None, method_names=None):
     import jax
 
     from .. import GravityConfig, random_system
@@ -41,6 +41,8 @@ def run_sweep(sizes=SWEEP_SIZES, accuracy_sizes=ACCURACY_SIZES,
         if n > BRUTE_FORCE_N_GATE:
             cfg_tiers = cfg_tiers.replace("a", "")  # main.cpp:24 gate
         methods = methods_for_tiers(cfg_tiers)
+        if method_names is not None:
+            methods = [m for m in methods if m.name in method_names]
         if not methods:
             continue
         label = f"N={n} dim={dim} accuracy={int(accuracy)}"
@@ -79,6 +81,9 @@ def main(argv=None) -> int:
                         "the given --sizes (chunked driving)")
     p.add_argument("--run-id", default=None,
                    help="shared CSV run id across chunked invocations")
+    p.add_argument("--methods", default=None,
+                   help="comma-separated exact method names (further "
+                        "narrows --tiers; per-method chunking)")
     args = p.parse_args(argv)
 
     if args.sizes is not None:
@@ -100,7 +105,9 @@ def main(argv=None) -> int:
                         dims=dims, tiers=args.tiers,
                         results_dir=args.results_dir,
                         seed=args.seed, warmup=args.warmup,
-                        run_id=args.run_id)
+                        run_id=args.run_id,
+                        method_names=(set(args.methods.split(","))
+                                      if args.methods else None))
     failed = [r for r in results if r.time_s < 0]
     print(f"\nsweep complete: {len(results)} method-runs, {len(failed)} failed")
     return 0

@@ -2,19 +2,28 @@
 
 Runs the reference matrix (``run_simulations.sh:26-60``: N ∈ {1e3, 1e4,
 1e5, 2e5, 5e5, 1e6, 2e6, 5e6} × {2D, 3D}, accuracy-on extra runs for the
-first four sizes) with **one subprocess per config**: the axon TPU worker
-can crash on very long device programs (CLAUDE.md watchdog gotcha), and a
-crash inside an in-process sweep would poison every remaining config.
-Chunking loses at most one config; per-method CSV rows are flushed as they
-complete, so even a killed config keeps its finished methods.
+first four sizes) as **one subprocess per (config, method)** with
+resume-aware multi-pass retries. Why this shape (CLAUDE.md relay gotchas):
+
+- The axon remote-compile service intermittently wedges a fresh program's
+  first compile (observed ~50% of fresh fingerprints during a sick phase);
+  a hung method must not block the other methods of its config.
+- A killed in-flight compile is orphaned server-side, *completes within
+  ~45-60 min*, and lands in the cache — so a LATER pass over the same
+  chunk loads it instantly. Passes over the whole matrix naturally space
+  retries by more than the healing time.
+- Per-method CSV rows flush as they complete, and every pass re-scans the
+  results directory, so the driver is fully resumable (kill/restart safe).
 
 Run:  python tools/run_full_sweep.py [--results-dir artifacts/results]
-      [--timeout 1800] [--tiers abhf] [--sizes 1e3,1e4,...]
+      [--passes 4] [--sizes 1e3,1e4,...]
 """
 
 from __future__ import annotations
 
 import argparse
+import csv
+import glob
 import os
 import subprocess
 import sys
@@ -24,87 +33,108 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SIZES = (1_000, 10_000, 100_000, 200_000, 500_000,
          1_000_000, 2_000_000, 5_000_000)
 ACCURACY_SIZES = SIZES[:4]
+BRUTE_GATE = 1_000_000  # main.cpp:24
+
+# TPU-registry methods (bench/registry.py), per-method chunking.
+METHODS = (
+    ("BruteForce_JNP", "a"),
+    ("BruteForce_Pallas", "a"),
+    ("BarnesHut_Grid", "b"),
+    ("BarnesHut_Grid_Theta05", "b"),
+    ("BVH_Radix", "h"),
+    ("FMM_Chebyshev", "f"),
+)
+
+
+def completed_rows(results_dir):
+    """(method, n, dim, accuracy_present) rows with time >= 0 on disk."""
+    done = set()
+    for path in glob.glob(os.path.join(results_dir, "*.csv")):
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                try:
+                    t = float(row["Time(s)"])
+                except (KeyError, ValueError, TypeError):
+                    continue
+                if t < 0:
+                    continue
+                has_acc = bool(row.get("Accuracy(%)"))
+                done.add((row["Method"], int(row["Bodies"]),
+                          int(row["Dimension"]), has_acc))
+    return done
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--results-dir", default="artifacts/results")
-    ap.add_argument("--tiers", default="abhf")
-    ap.add_argument("--timeout", type=float, default=1800.0,
-                    help="per-config wall clock cap (seconds)")
-    ap.add_argument("--sizes", default=None,
-                    help="comma-separated N override")
+    ap.add_argument("--passes", type=int, default=4)
+    ap.add_argument("--sizes", default=None)
     ap.add_argument("--dims", default="2,3")
+    ap.add_argument("--timeout-small", type=float, default=600.0,
+                    help="per-chunk cap, N <= 5e5")
+    ap.add_argument("--timeout-large", type=float, default=1800.0,
+                    help="per-chunk cap, N > 5e5")
     args = ap.parse_args()
 
     sizes = (tuple(int(float(s)) for s in args.sizes.split(","))
              if args.sizes else SIZES)
     dims = tuple(int(d) for d in args.dims.split(","))
-    # Small sizes first: every (tier, dim, shape-class) compiles once into
-    # the persistent cache before the expensive configs run.
-    # At N ≥ 1e6 additionally chunk per tier: a hung/crashed tier (e.g. a
-    # traversal that trips the TPU watchdog) must not take down the other
-    # tiers' rows for that config.
-    configs = []
+
+    chunks = []  # (n, dim, accuracy, method)
     for n in sorted(sizes):
         for d in dims:
-            if n >= 1_000_000:
-                configs += [(n, d, False, t) for t in args.tiers]
-            else:
-                configs.append((n, d, False, args.tiers))
-    configs += [(n, d, True, args.tiers) for n in sorted(sizes)
-                if n in ACCURACY_SIZES for d in dims]
+            for name, tier in METHODS:
+                if tier == "a" and n > BRUTE_GATE:
+                    continue
+                chunks.append((n, d, False, name))
+    for n in sorted(sizes):
+        if n not in ACCURACY_SIZES:
+            continue
+        for d in dims:
+            for name, tier in METHODS:
+                chunks.append((n, d, True, name))
 
-    os.makedirs(os.path.join(REPO, args.results_dir), exist_ok=True)
+    results_dir_abs = os.path.join(REPO, args.results_dir)
+    os.makedirs(results_dir_abs, exist_ok=True)
     t_start = time.time()
 
-    def run_one(cfg, attempt):
-        n, dim, acc, tiers = cfg
-        label = f"N={n} dim={dim} accuracy={int(acc)} tiers={tiers}"
-        print(f"[attempt {attempt}] {label} "
-              f"(t+{time.time() - t_start:.0f}s)", flush=True)
-        # Distinct run ids per (accuracy, tier-chunk, attempt): the CSV
-        # filename is run_<id>_N_<n>_<dim>D.csv opened "w", so chunks
-        # sharing (N, dim) would otherwise overwrite each other. The
-        # aggregator merges all CSVs and averages repeats.
-        run_id = ("r2acc" if acc else "r2full") + (
-            tiers if tiers != args.tiers else "") + (
-            f"x{attempt}" if attempt > 1 else "")
-        cmd = [sys.executable, "-m", "nbody_tpu.bench.sweep",
-               "--sizes", str(n), "--dims", str(dim),
-               "--accuracy", "on" if acc else "off",
-               "--tiers", tiers,
-               "--results-dir", args.results_dir,
-               "--run-id", run_id]
-        try:
-            r = subprocess.run(cmd, cwd=REPO, timeout=args.timeout)
-            if r.returncode != 0:
-                print(f"  FAILED: exit {r.returncode}", flush=True)
-                return f"exit {r.returncode}"
-        except subprocess.TimeoutExpired:
-            print(f"  TIMEOUT after {args.timeout:.0f}s", flush=True)
-            return "timeout"
-        return None
+    for pass_no in range(1, args.passes + 1):
+        done = completed_rows(results_dir_abs)
+        pending = [(n, d, acc, m) for (n, d, acc, m) in chunks
+                   if (m, n, d, acc) not in done]
+        print(f"\n===== pass {pass_no}: {len(pending)} pending / "
+              f"{len(chunks)} chunks (t+{time.time() - t_start:.0f}s)",
+              flush=True)
+        if not pending:
+            break
+        for i, (n, d, acc, m) in enumerate(pending):
+            label = f"N={n} {d}D acc={int(acc)} {m}"
+            print(f"[p{pass_no} {i + 1}/{len(pending)}] {label} "
+                  f"(t+{time.time() - t_start:.0f}s)", flush=True)
+            run_id = f"r2{'a' if acc else 'f'}p{pass_no}_{m}"
+            cmd = [sys.executable, "-m", "nbody_tpu.bench.sweep",
+                   "--sizes", str(n), "--dims", str(d),
+                   "--accuracy", "on" if acc else "off",
+                   "--methods", m, "--tiers", "abhf",
+                   "--results-dir", args.results_dir,
+                   "--run-id", run_id]
+            timeout = (args.timeout_small if n <= 500_000
+                       else args.timeout_large)
+            try:
+                r = subprocess.run(cmd, cwd=REPO, timeout=timeout)
+                if r.returncode != 0:
+                    print(f"  FAILED: exit {r.returncode}", flush=True)
+            except subprocess.TimeoutExpired:
+                print(f"  TIMEOUT after {timeout:.0f}s "
+                      f"(orphan will heal; later pass retries)", flush=True)
 
-    failures = []
-    for i, cfg in enumerate(configs):
-        print(f"[{i + 1}/{len(configs)}]", end=" ", flush=True)
-        why = run_one(cfg, 1)
-        if why is not None:
-            failures.append((cfg, why))
-
-    # A relay wedge (orphaned compile joined by retries — CLAUDE.md
-    # gotchas) self-heals in ~45-60 min; retry failed configs once at the
-    # END of the matrix so recovery time has elapsed naturally.
-    if failures:
-        print(f"\nretrying {len(failures)} failed configs ...", flush=True)
-        failures = [(cfg, run_one(cfg, 2)) for cfg, _ in failures]
-        failures = [(cfg, why) for cfg, why in failures if why is not None]
-
+    done = completed_rows(results_dir_abs)
+    missing = [(n, d, acc, m) for (n, d, acc, m) in chunks
+               if (m, n, d, acc) not in done]
     print(f"\nsweep matrix done in {time.time() - t_start:.0f}s; "
-          f"{len(failures)} config failures")
-    for (n, dim, acc, tiers), why in failures:
-        print(f"  N={n} dim={dim} acc={int(acc)} tiers={tiers}: {why}")
+          f"{len(missing)} chunks still missing")
+    for n, d, acc, m in missing:
+        print(f"  N={n} {d}D acc={int(acc)} {m}")
     return 0
 
 
