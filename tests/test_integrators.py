@@ -73,3 +73,18 @@ def test_simulate_jits(rng_key):
     out, _ = run(sys)
     assert out.positions.shape == sys.positions.shape
     assert np.all(np.isfinite(np.asarray(out.positions)))
+
+
+def test_potential_energy_blocked_matches_dense(rng_key):
+    """potential_energy_blocked (the N>=1e6-scalable tiling used by
+    tools/simulate_1m.py) must agree with the dense version, including
+    when N is not a multiple of the block (zero-mass padding rows all sit
+    at the origin and must be excluded by the coincident-pair guard)."""
+    from nbody_tpu.ops.brute_force import potential_energy_blocked
+    cfg = GravityConfig(G=1.0, softening=0.05)
+    sys = plummer_system(rng_key, 333, dim=3)
+    dense = float(potential_energy(sys.positions, sys.masses, cfg))
+    blocked = float(potential_energy_blocked(sys.positions, sys.masses,
+                                             cfg, block_size=128))
+    np.testing.assert_allclose(blocked, dense, rtol=1e-5)
+    assert dense < 0  # bound system
