@@ -182,9 +182,13 @@ def _pe_blocked_impl(positions, masses, *, G, softening, block_size):
             d2 = diff * diff if d2 is None else d2 + diff * diff
         inv_r = jax.lax.rsqrt(d2 + soft2)
         ti = i0 + jnp.arange(block_size)
-        # Skip self-pairs and coincident pairs (zero-mass padding bodies
-        # all sit at the origin; 0·inf would poison the sum).
-        skip = (ti[:, None] == idx[None, :]) | (d2 < _DIST2_GUARD)
+        # Skip self-pairs and padding rows *by index* (zero-mass padding
+        # bodies all sit at the origin: with softening == 0 their mutual
+        # rsqrt(0) = inf would turn 0·inf into NaN). A d²-based skip here
+        # would also drop coincident *distinct* real pairs, diverging from
+        # the dense potential_energy it tiles.
+        skip = ((ti[:, None] == idx[None, :]) | (ti[:, None] >= n)
+                | (idx[None, :] >= n))
         pair = jnp.where(skip, 0.0, tm[:, None] * m_p[None, :] * inv_r)
         return jnp.sum(pair)
 

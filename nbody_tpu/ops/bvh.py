@@ -430,8 +430,12 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
             f0, near0, cnt0, of0, maxw0, it0 = (
                 jax.lax.pcast(x, shard_axis, to="varying")
                 for x in (f0, near0, cnt0, of0, maxw0, it0))
-        _, _, acc, near_ids, near_cnt, overflow, maxw = jax.lax.while_loop(
+        _, fend, acc, near_ids, near_cnt, overflow, maxw = jax.lax.while_loop(
             cond, step, (it0, f0, acc0, near0, cnt0, of0, maxw0))
+        # The max_depth bound is believed tight (root-to-leaf node path ≤
+        # key_bits + log2(n) splits), but if a walk ever exceeds it the
+        # leftover frontier must poison, not silently drop its subtrees.
+        overflow = overflow | jnp.any(fend != _INVALID, axis=1)
 
         # ---- Pass 2: dense near-field evaluation over contiguous windows.
         # near_ids is sort-compacted, so empty chunks are cond-skipped.

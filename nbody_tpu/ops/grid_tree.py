@@ -188,6 +188,74 @@ def _quad_pairs(dim: int):
             else [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)])
 
 
+def leaf_window_sums(body_pack, starts, ends, *, capacity, ncells, dim,
+                     quad=False):
+    """Per-cell mass / mass-weighted-position (and, with ``quad``, the
+    COM-centered second moments) from superrow windows over Morton-sorted
+    packed bodies. Shared by the single-chip build and the LET per-chunk
+    aggregation (parallel/let_tree.py) so the masked-window math has one
+    home. Returns (m [C], mx [C, D], S [C, nq] | None)."""
+    TW = capacity // 8 + 1
+    nsr = body_pack.shape[0]
+    sr_raw = (starts // 8)[:, None] + jnp.arange(TW, dtype=jnp.int32)
+    rows = body_pack[jnp.clip(sr_raw, 0, nsr - 1)]  # [C, TW, 32]
+    wbodies = rows.reshape(ncells, TW * 8, 4)
+    gidx = (sr_raw[..., None] * 8 + jnp.arange(8, dtype=jnp.int32))\
+        .reshape(ncells, TW * 8)
+    wvalid = (gidx >= starts[:, None]) & (gidx < ends[:, None])
+    wmass = wbodies[..., 3] * wvalid
+    m = jnp.sum(wmass, axis=1)
+    mx = jnp.sum(wmass[..., None] * wbodies[..., :dim], axis=1)
+    S = None
+    if quad:
+        # Centered at the cell COM: see the GridTree.level_quad docstring.
+        com = mx / jnp.maximum(m, 1e-30)[:, None]
+        dxw = wbodies[..., :dim] - com[:, None, :]
+        S = jnp.stack([jnp.sum(wmass * dxw[..., a] * dxw[..., b], axis=1)
+                       for a, b in _quad_pairs(dim)], axis=-1)  # [C, nq]
+    return m, mx, S
+
+
+def reduce_levels(m_l, mx_l, S_l, *, dim, L, dtype):
+    """Bottom-up 2^D-child tree reduction of leaf (mass, m·x[, second
+    moments]) into per-level (mass, COM, [com|mass] pack, quad) tables.
+    Quadrupole translation uses the parallel-axis identity
+    S_p = Σ_c [S_c + m_c·(com_c−com_p)(com_c−com_p)ᵀ]. Shared by
+    build_grid_tree and the LET replicated-summary build."""
+    qpairs = _quad_pairs(dim)
+    level_mass: List[jax.Array] = []
+    level_com: List[jax.Array] = []
+    level_pack: List[jax.Array] = []
+    level_quad: List[jax.Array] = []
+    for l in range(L, -1, -1):
+        com_l = mx_l / jnp.maximum(m_l, 1e-30)[:, None]
+        pack_l = jnp.zeros((m_l.shape[0], 4), dtype)
+        pack_l = pack_l.at[:, :dim].set(com_l).at[:, 3].set(m_l)
+        level_mass.append(m_l)
+        level_com.append(com_l)
+        level_pack.append(pack_l)
+        if S_l is not None:
+            level_quad.append(S_l)
+        if l > 0:
+            m_p = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
+            mx_p = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
+            if S_l is not None:
+                com_p = mx_p / jnp.maximum(m_p, 1e-30)[:, None]
+                d = com_l.reshape(-1, 1 << dim, dim) - com_p[:, None, :]
+                mc = m_l.reshape(-1, 1 << dim)
+                S_l = jnp.sum(
+                    S_l.reshape(-1, 1 << dim, len(qpairs))
+                    + mc[..., None] * jnp.stack(
+                        [d[..., a] * d[..., b] for a, b in qpairs], axis=-1),
+                    axis=1)
+            m_l, mx_l = m_p, mx_p
+    level_mass.reverse()
+    level_com.reverse()
+    level_pack.reverse()
+    level_quad.reverse()
+    return level_mass, level_com, level_pack, level_quad
+
+
 @functools.partial(jax.jit,
                    static_argnames=("leaf_level", "capacity", "quad"))
 def build_grid_tree(positions: jax.Array, masses: jax.Array,
@@ -240,60 +308,11 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
     # global-cumsum alternative loses ~ε·Σm of absolute precision), then
     # coarser levels by exact 2^D-child tree reduction — Morton ids make
     # children of one parent contiguous.
-    TW = capacity // 8 + 1
-    nsr = body_pack.shape[0]
-    sr_raw = (starts // 8)[:, None] + jnp.arange(TW, dtype=jnp.int32)
-    rows = body_pack[jnp.clip(sr_raw, 0, nsr - 1)]  # [M, TW, 32]
-    wbodies = rows.reshape(num_leaf_cells, TW * 8, 4)
-    gidx = (sr_raw[..., None] * 8 + jnp.arange(8, dtype=jnp.int32))\
-        .reshape(num_leaf_cells, TW * 8)
-    wvalid = (gidx >= starts[:, None]) & (gidx < ends[:, None])
-    wmass = wbodies[..., 3] * wvalid
-    m_leaf = jnp.sum(wmass, axis=1)  # [M]
-    mx_leaf = jnp.sum(wmass[..., None] * wbodies[..., :dim], axis=1)
-
-    qpairs = _quad_pairs(dim)
-    S_l = None
-    if quad:
-        # Leaf second moments about the leaf COM via the same masked
-        # windows (centered: see the level_quad field docstring).
-        com_leaf = mx_leaf / jnp.maximum(m_leaf, 1e-30)[:, None]
-        dxw = wbodies[..., :dim] - com_leaf[:, None, :]
-        S_l = jnp.stack([jnp.sum(wmass * dxw[..., a] * dxw[..., b], axis=1)
-                         for a, b in qpairs], axis=-1)  # [M, nq]
-
-    level_mass: List[jax.Array] = []
-    level_com: List[jax.Array] = []
-    level_pack: List[jax.Array] = []
-    level_quad: List[jax.Array] = []
-    m_l, mx_l = m_leaf, mx_leaf
-    for l in range(L, -1, -1):
-        com_l = mx_l / jnp.maximum(m_l, 1e-30)[:, None]
-        pack_l = jnp.zeros((m_l.shape[0], 4), pos_s.dtype)
-        pack_l = pack_l.at[:, :dim].set(com_l).at[:, 3].set(m_l)
-        level_mass.append(m_l)
-        level_com.append(com_l)
-        level_pack.append(pack_l)
-        if quad:
-            level_quad.append(S_l)
-        if l > 0:
-            m_p = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
-            mx_p = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
-            if quad:
-                # Parallel-axis translation child → parent.
-                com_p = mx_p / jnp.maximum(m_p, 1e-30)[:, None]
-                d = com_l.reshape(-1, 1 << dim, dim) - com_p[:, None, :]
-                mc = m_l.reshape(-1, 1 << dim)
-                S_l = jnp.sum(
-                    S_l.reshape(-1, 1 << dim, len(qpairs))
-                    + mc[..., None] * jnp.stack(
-                        [d[..., a] * d[..., b] for a, b in qpairs], axis=-1),
-                    axis=1)
-            m_l, mx_l = m_p, mx_p
-    level_mass.reverse()
-    level_com.reverse()
-    level_pack.reverse()
-    level_quad.reverse()
+    m_leaf, mx_leaf, S_leaf = leaf_window_sums(
+        body_pack, starts, ends, capacity=capacity, ncells=num_leaf_cells,
+        dim=dim, quad=quad)
+    level_mass, level_com, level_pack, level_quad = reduce_levels(
+        m_leaf, mx_leaf, S_leaf, dim=dim, L=L, dtype=pos_s.dtype)
 
     # Window slot of each sorted body: its leaf's window starts at the
     # superrow boundary below cell_start.

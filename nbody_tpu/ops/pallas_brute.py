@@ -409,6 +409,12 @@ def _forces_impl(positions, masses, *, G, softening, block_t, block_s, mode,
         # w already carries m_t·m_s, so this is the force, scaled by G only.
         return jnp.float32(G) * (out_t[:n, :dim] + out_s[:dim, :n].T)
 
+    # Clamp blocks to the (rounded-up) body count so small N doesn't pad
+    # to a full 16K source window (N=1000 would otherwise run 16384² pair
+    # slots — ~270× wasted). block_s stays a multiple of s_sub (the
+    # precise kernel asserts s_win % s_sub == 0).
+    block_t = min(block_t, -(-n // 128) * 128)
+    block_s = min(block_s, max(s_sub, -(-n // s_sub) * s_sub))
     block = max(block_t, block_s)
     n_pad = -(-n // block) * block
     pm, src_t, src_m4 = _prep_layout(
@@ -449,7 +455,14 @@ def pairwise_accel_pallas(
         guard = float(softening) == 0.0
 
     block_t = min(block_t, max(8, t))
-    block_s = min(block_s, max(128, s))
+    # block_s must stay a multiple of the precise kernel's s_sub sub-tile
+    # (its unroll asserts s_win % s_sub == 0) — round UP to the sub-tile,
+    # never down to the raw source count (e.g. the ring at N=1e5 hands
+    # 12,500-body shards: 12500 % 2048 != 0 crashed at trace time).
+    s_sub = 2048
+    block_s = min(block_s, max(128, -(-s // s_sub) * s_sub))
+    if block_s % s_sub and block_s > s_sub:
+        block_s = -(-block_s // s_sub) * s_sub
     t_pad = -(-t // block_t) * block_t
     s_pad = -(-s // block_s) * block_s
 

@@ -51,12 +51,13 @@ from ..ops.grid_tree import (
     _neighbor_offsets,
     _point_mass_accel,
     _quad_cell_accel,
-    _quad_pairs,
     _ring_offsets,
     _window_rows_raw,
     auto_leaf_level,
     cell_coords,
     compute_capacity,
+    leaf_window_sums,
+    reduce_levels,
     theta_to_ring,
 )
 from ..ops.keys import morton_key_from_coords, quantize
@@ -161,59 +162,21 @@ def _replicated_levels(body_pack, starts, counts, *, dim, L, cap, cc,
     [com|mass] packed tables per level (step 2 of the module docstring).
 
     With ``quad=True`` additionally returns per-level COM-centered second
-    moments (same parallel-axis upward sweep as the single-chip build,
-    ops/grid_tree.py build_grid_tree): leaves never span chips, so the
-    leaf moments are purely local before the ``all_gather``.
+    moments. Leaves never span chips, so the leaf sums (and moments — they
+    are centered at the leaf's own COM) are purely local before the
+    ``all_gather``; the shared :func:`~nbody_tpu.ops.grid_tree.
+    leaf_window_sums` / :func:`~nbody_tpu.ops.grid_tree.reduce_levels`
+    then match the single-chip build exactly.
     """
-    TW = cap // 8 + 1
-    nsr = body_pack.shape[0]
-    sr_raw = (starts // 8)[:, None] + jnp.arange(TW, dtype=jnp.int32)
-    rows = body_pack[jnp.clip(sr_raw, 0, nsr - 1)]
-    wbodies = rows.reshape(cc, TW * 8, 4)
-    gidx = (sr_raw[..., None] * 8 + jnp.arange(8, dtype=jnp.int32))\
-        .reshape(cc, TW * 8)
-    ends = starts + counts
-    wvalid = (gidx >= starts[:, None]) & (gidx < ends[:, None])
-    wmass = wbodies[..., 3] * wvalid
-    m_leaf_loc = jnp.sum(wmass, axis=1)
-    mx_leaf_loc = jnp.sum(wmass[..., None] * wbodies[..., :dim], axis=1)
-
-    m_l = jax.lax.all_gather(m_leaf_loc, axis_name, tiled=True)
-    mx_l = jax.lax.all_gather(mx_leaf_loc, axis_name, tiled=True)
-
-    qpairs = _quad_pairs(dim)
-    S_l = None
-    if quad:
-        com_loc = mx_leaf_loc / jnp.maximum(m_leaf_loc, 1e-30)[:, None]
-        dxw = wbodies[..., :dim] - com_loc[:, None, :]
-        S_loc = jnp.stack([jnp.sum(wmass * dxw[..., a] * dxw[..., b], axis=1)
-                           for a, b in qpairs], axis=-1)  # [cc, nq]
-        S_l = jax.lax.all_gather(S_loc, axis_name, tiled=True)
-
-    level_pack = []
-    level_quad = []
-    for l in range(L, -1, -1):
-        com_l = mx_l / jnp.maximum(m_l, 1e-30)[:, None]
-        pk = jnp.zeros((m_l.shape[0], 4), dtype)
-        pk = pk.at[:, :dim].set(com_l).at[:, 3].set(m_l)
-        level_pack.append(pk)
-        if quad:
-            level_quad.append(S_l)
-        if l > 0:
-            m_p = jnp.sum(m_l.reshape(-1, 1 << dim), axis=1)
-            mx_p = jnp.sum(mx_l.reshape(-1, 1 << dim, dim), axis=1)
-            if quad:
-                com_p = mx_p / jnp.maximum(m_p, 1e-30)[:, None]
-                d = com_l.reshape(-1, 1 << dim, dim) - com_p[:, None, :]
-                mc = m_l.reshape(-1, 1 << dim)
-                S_l = jnp.sum(
-                    S_l.reshape(-1, 1 << dim, len(qpairs))
-                    + mc[..., None] * jnp.stack(
-                        [d[..., a] * d[..., b] for a, b in qpairs], axis=-1),
-                    axis=1)
-            m_l, mx_l = m_p, mx_p
-    level_pack.reverse()
-    level_quad.reverse()
+    m_loc, mx_loc, S_loc = leaf_window_sums(
+        body_pack, starts, starts + counts, capacity=cap, ncells=cc,
+        dim=dim, quad=quad)
+    m_l = jax.lax.all_gather(m_loc, axis_name, tiled=True)
+    mx_l = jax.lax.all_gather(mx_loc, axis_name, tiled=True)
+    S_l = (jax.lax.all_gather(S_loc, axis_name, tiled=True)
+           if quad else None)
+    _, _, level_pack, level_quad = reduce_levels(
+        m_l, mx_l, S_l, dim=dim, L=L, dtype=dtype)
     return level_pack, (level_quad if quad else None)
 
 
@@ -416,7 +379,11 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
                                 cap=cap, dim=dim)
 
     valid = idx_s >= 0
-    overflow = of_ex | of_halo
+    # Combine across the mesh: a sender-side bucket overflow drops
+    # bodies destined for OTHER chips' chunks, so every chip's rows
+    # are suspect — all chips must poison, not just the detector.
+    overflow = jax.lax.pmax(
+        (of_ex | of_halo).astype(jnp.int32), axis_name) > 0
     g = jnp.asarray(G, dtype)
     forces = (g * mass_s)[:, None] * acc_loc
     forces = jnp.where(valid[:, None], forces, 0.0)
@@ -612,7 +579,11 @@ def _let_fmm_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
     acc_near_loc = _windows_to_local(near_win, key_s, starts, my0=my0,
                                      cc=cc, cap=cap, dim=dim)
 
-    overflow = of_ex | of_halo
+    # Combine across the mesh: a sender-side bucket overflow drops
+    # bodies destined for OTHER chips' chunks, so every chip's rows
+    # are suspect — all chips must poison, not just the detector.
+    overflow = jax.lax.pmax(
+        (of_ex | of_halo).astype(jnp.int32), axis_name) > 0
     g = jnp.asarray(G, dtype)
     forces = (g * mass_s)[:, None] * (acc_far_loc + acc_near_loc)
     forces = jnp.where(valid[:, None], forces, 0.0)

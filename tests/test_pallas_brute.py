@@ -129,3 +129,40 @@ def test_mxu_centered_and_sorted(rng_key):
                                block_s=128, mode="mxu", sort=sort,
                                interpret=True), want))
         assert err < 3e-4, (sort, err)
+
+
+def test_rect_tile_odd_source_count(rng_key):
+    """pairwise_accel_pallas with a source count that is NOT a multiple of
+    the 2048-lane sub-tile (the ring hands e.g. 12,500-body shards at
+    N=1e5 on 8 chips) must round the window up, not crash the
+    s_win % s_sub assert (round-2 regression)."""
+    from nbody_tpu.ops.pallas_brute import pairwise_accel_pallas
+    k1, k2 = jax.random.split(rng_key)
+    tgt = random_system(k1, 64, dim=2, dtype=jnp.float32)
+    src = random_system(k2, 2500, dim=2, dtype=jnp.float32)
+    acc = pairwise_accel_pallas(tgt.positions, src.positions, src.masses,
+                                softening=0.0, interpret=True)
+    # f64 oracle for the un-G-scaled acceleration on the targets.
+    t = np.asarray(tgt.positions, np.float64)
+    s = np.asarray(src.positions, np.float64)
+    m = np.asarray(src.masses, np.float64)
+    diff = s[None, :, :] - t[:, None, :]
+    d2 = np.sum(diff * diff, axis=-1)
+    w = np.where(d2 < 1e-10, 0.0, m[None, :] * d2 ** -1.5)
+    want = np.sum(w[..., None] * diff, axis=1)
+    err = float(scale_normalized_error(acc, want))
+    assert err < 1e-5, err
+
+
+def test_precise_small_n_not_overpadded(rng_key):
+    """mode='precise' at small N must clamp its blocks near N (round-2 fix:
+    N=1000 used to pad to a full 16384² pair grid, ~270× wasted work) and
+    still match the direct sum."""
+    from nbody_tpu.ops import pallas_brute as pb
+    sys = random_system(rng_key, 1000, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    got = brute_force_pallas(sys.positions, sys.masses, cfg,
+                             mode="precise", interpret=True)
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    err = float(scale_normalized_error(got, want))
+    assert err < 1e-5, err
