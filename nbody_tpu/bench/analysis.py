@@ -25,6 +25,8 @@ Key = Tuple[int, str, int]  # (bodies, method, dim)
 def load_results(results_dir: str = "results") -> List[dict]:
     rows = []
     for path in sorted(glob.glob(os.path.join(results_dir, "*.csv"))):
+        if os.path.basename(path) == "aggregated_results.csv":
+            continue  # our own output — re-reading it would double-count
         with open(path) as f:
             reader = csv.DictReader(f)
             for row in reader:
