@@ -653,6 +653,12 @@ def barnes_hut_grid(
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     k = theta_to_ring(theta)
+    if dim == 3 and k >= 3 and n >= 2_000_000:
+        # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the
+        # default 512-leaf batches crashed the remote compiler
+        # (tpu_compile_helper exit 1, N=2e6 3D theta=0.25 in the round-2
+        # sweep). Smaller batches shrink every per-level intermediate.
+        leaf_batch = min(leaf_batch, 128)
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim, k=k)
     if capacity is None:
