@@ -445,6 +445,12 @@ def fmm_forces(
     (methods.h:66-82) with order as a static shape parameter (fixes §8.3).
     """
     n, dim = positions.shape
+    if dim == 3 and n >= 5_000_000:
+        # N=5e6 3D at the default batch crashed the remote compiler
+        # (tpu_compile_helper exit 1, round-2 sweep); halving the batch
+        # halves every per-level intermediate. 4M 3D compiles fine at
+        # the default.
+        leaf_batch = min(leaf_batch, 512)
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim)
     if capacity is None:

@@ -657,8 +657,10 @@ def barnes_hut_grid(
         # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the
         # default 512-leaf batches crashed the remote compiler
         # (tpu_compile_helper exit 1, N=2e6 3D theta=0.25 in the round-2
-        # sweep). Smaller batches shrink every per-level intermediate.
-        leaf_batch = min(leaf_batch, 128)
+        # sweep) — smaller batches shrink every per-level intermediate.
+        # But 128 made the single dispatch long enough to trip the TPU
+        # watchdog at 5e6 ("TPU worker crashed"); 256 is the middle.
+        leaf_batch = min(leaf_batch, 256)
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim, k=k)
     if capacity is None:
