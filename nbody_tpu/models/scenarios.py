@@ -7,6 +7,7 @@ unit systems stated per scenario.
 
 from __future__ import annotations
 
+import warnings
 from typing import Tuple
 
 import jax
@@ -98,6 +99,11 @@ _PLANETS = [
 def solar_system(dtype=jnp.float64) -> Tuple[System, GravityConfig]:
     """Sun + 8 planets on circular coplanar orbits; AU / Msun / yr units
     (G = 4π², so Earth's period is 1.0 by construction)."""
+    if jax.dtypes.canonicalize_dtype(dtype) != jnp.dtype(dtype):
+        warnings.warn(
+            "solar_system(dtype=float64) with jax_enable_x64 off silently "
+            "downcasts to float32; enable x64 or pass dtype=jnp.float32.",
+            stacklevel=2)
     g = 4.0 * jnp.pi ** 2
     rows_p, rows_v, rows_m = [[0.0, 0.0, 0.0]], [[0.0, 0.0, 0.0]], [1.0]
     for i, (_, a, m) in enumerate(_PLANETS):

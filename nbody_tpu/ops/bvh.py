@@ -48,6 +48,7 @@ import jax.numpy as jnp
 
 from ..config import DEFAULT_GRAVITY, GravityConfig
 from .brute_force import _DIST2_GUARD
+from .grid_tree import _quad_pairs
 from .keys import MAX_BITS, hilbert_key
 
 _INVALID = jnp.int32(2_147_483_647)
@@ -75,9 +76,11 @@ class BVHTree:
 
     # Hot-path packed layouts (one row gather per node / per body — row
     # gathers on this part cost per ROW, not per byte):
-    # node_table[v] = [l, r, left, right, size, mass, com...] as f32
-    # (indices < 2^24 are exact in f32; build asserts N <= 8M).
-    node_table: jax.Array  # [2N-1, 8 or 12]
+    # node_table[v] = [l, r, left, right, size, mass, com..., quad...] as
+    # f32 (indices < 2^24 are exact in f32; build asserts N <= 8M). The
+    # quad columns (COM-centered second moments, nq = 3 in 2D / 6 in 3D)
+    # are present only when built with quad=True.
+    node_table: jax.Array  # [2N-1, 8|12 mono; 12|16 quad]
     body_table: jax.Array  # [N, 4] = [x, y, z|0, mass]
 
     @property
@@ -101,9 +104,9 @@ def _delta(keys, idx, i, j, n, total_bits):
     return jnp.where(valid, d, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("key_bits",))
+@functools.partial(jax.jit, static_argnames=("key_bits", "quad"))
 def build_bvh(positions: jax.Array, masses: jax.Array,
-              key_bits: int) -> BVHTree:
+              key_bits: int, quad: bool = False) -> BVHTree:
     n, dim = positions.shape
     keys = hilbert_key(positions, bits=key_bits // dim)
     # Left-align keys so clz of the XOR measures the true common prefix.
@@ -163,13 +166,23 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     right_all = jnp.concatenate([right_child, leaf_ids])
 
     # Mass / COM per node from prefix sums over the contiguous range.
+    # f32 hazard (hit at N=2e4 in reference units): adjacent cumsum entries
+    # at ~1e12 magnitude can round a single body's mass difference to
+    # EXACTLY 0 while the m·x difference stays nonzero — mx/1e-30 then
+    # yields an inf COM, and 0·inf = NaN poisons anything COM-centered
+    # (the quadrupole combine). Clamp the mass at 0 (cumsum differences
+    # can also round slightly negative) and give massless nodes their
+    # first body's position as a harmless, spatially-sane COM.
     zero = jnp.zeros((1,), pos_s.dtype)
     cmass = jnp.concatenate([zero, jnp.cumsum(mass_s)])
     cmpos = jnp.concatenate([jnp.zeros((1, dim), pos_s.dtype),
                              jnp.cumsum(mass_s[:, None] * pos_s, axis=0)])
-    node_mass = cmass[range_r + 1] - cmass[range_l]
+    node_mass = jnp.maximum(cmass[range_r + 1] - cmass[range_l], 0.0)
     node_mx = cmpos[range_r + 1] - cmpos[range_l]
-    node_com = node_mx / jnp.maximum(node_mass, 1e-30)[:, None]
+    node_com = jnp.where(
+        (node_mass > 0)[:, None],
+        node_mx / jnp.maximum(node_mass, 1e-30)[:, None],
+        pos_s[range_l])
 
     # Exact per-node AABB extent via a sparse range-min/max table: any
     # contiguous range [l, r] is the union of the two (possibly overlapping)
@@ -200,13 +213,55 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
                            flat_mx[klog * n + hi_start])
     node_size = jnp.max(aabb_max - aabb_min, axis=-1)  # [2N-1]
 
+    # COM-centered second moments for the quadrupole far field. Raw
+    # prefix sums of m·x_a·x_b from the global origin cancel catastrophically
+    # in f32 at the reference's 1e7-scale coordinates (S/M2 ~ (extent/|x|)²
+    # can be < 1e-6), so S is combined bottom-up with the parallel-axis
+    # identity S_v = Σ_c [S_c + m_c·(com_c−com_v)(com_c−com_v)ᵀ] — centered
+    # quantities only. The Karras tree has no level structure, so the
+    # combine runs as a bounded relaxation: each round resolves every node
+    # whose two children are ready (leaves start ready), finishing in
+    # ≤ tree-depth rounds with two [2N-1]-row gathers per round.
+    node_quad = None
+    if quad:
+        qpairs = _quad_pairs(dim)
+        nq = len(qpairs)
+        depth_bound = key_bits + max(1, math.ceil(
+            math.log2(max(n, 2)))) + 2
+        S0 = jnp.zeros((num_nodes, nq), pos_s.dtype)
+        ready0 = jnp.arange(num_nodes, dtype=jnp.int32) >= (n - 1)
+
+        def _combine_round(state):
+            it, S, ready = state
+            can = (~ready) & ready[left] & ready[right_all]
+
+            def child_term(cid):
+                d = node_com[cid] - node_com  # [2N-1, D]
+                dd = jnp.stack([d[:, a] * d[:, b] for a, b in qpairs],
+                               axis=-1)
+                return S[cid] + node_mass[cid][:, None] * dd
+
+            S_new = child_term(left) + child_term(right_all)
+            S = jnp.where(can[:, None], S_new, S)
+            return it + 1, S, ready | can
+
+        def _not_done(state):
+            it, _, ready = state
+            return (it < depth_bound) & jnp.any(~ready)
+
+        _, node_quad, _ = jax.lax.while_loop(
+            _not_done, _combine_round, (jnp.int32(0), S0, ready0))
+
     # Packed hot-path tables (see BVHTree docstring). The table dtype
     # follows the input so f64 oracle runs stay exact; in f32, node ids up
     # to 2^24 round-trip exactly (asserted).
     tdt = pos_s.dtype
     assert tdt != jnp.float32 or n <= (1 << 23), \
         "f32-packed node indices require N <= 8M"
-    width = 8 if dim == 2 else 12
+    if quad:
+        width = 12 if dim == 2 else 16
+    else:
+        width = 8 if dim == 2 else 12
     node_table = jnp.zeros((num_nodes, width), tdt)
     node_table = node_table.at[:, 0].set(range_l.astype(tdt))
     node_table = node_table.at[:, 1].set(range_r.astype(tdt))
@@ -215,6 +270,9 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     node_table = node_table.at[:, 4].set(node_size.astype(tdt))
     node_table = node_table.at[:, 5].set(node_mass.astype(tdt))
     node_table = node_table.at[:, 6:6 + dim].set(node_com.astype(tdt))
+    if quad:
+        node_table = node_table.at[:, 6 + dim:6 + dim + node_quad.shape[1]]\
+            .set(node_quad.astype(tdt))
 
     body_table = jnp.zeros((n, 4), tdt)
     body_table = body_table.at[:, :dim].set(pos_s)
@@ -233,7 +291,7 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     jax.jit,
     static_argnames=("leaf_size", "theta", "softening", "group_size",
                      "batch", "frontier_width", "near_cap", "shard_axis",
-                     "num_shards", "return_stats"))
+                     "num_shards", "return_stats", "multipole"))
 def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      softening: float = 0.0, group_size: int = 64,
                      batch: int = 128,
@@ -241,7 +299,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      near_cap: Optional[int] = None,
                      shard_axis: Optional[str] = None,
                      num_shards: int = 1,
-                     return_stats: bool = False) -> jax.Array:
+                     return_stats: bool = False,
+                     multipole: str = "mono") -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
 
     Level-synchronous frontier-expansion traversal (the "vectorized,
@@ -276,6 +335,11 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     dim = tree.pos_sorted.shape[-1]
     dtype = tree.pos_sorted.dtype
     soft2 = jnp.asarray(softening, dtype) ** 2
+    qpairs = _quad_pairs(dim)
+    if multipole == "quad" and tree.node_table.shape[-1] < 6 + dim + len(
+            qpairs):
+        raise ValueError("multipole='quad' needs a tree built with "
+                         "build_bvh(..., quad=True)")
     # Capacity defaults, measured at N=1e5 θ=0.25 uniform (group sizes
     # 128/256): max frontier 326 (2D) / ~3600 (3D); max near list 316 (2D)
     # / ~300 (3D, MAC-passing leafish served far). Headroom ~3×; clustered
@@ -349,7 +413,10 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 near_take = leafish & ~mac_ok
                 expand = valid & ~leafish & ~mac_ok
 
-                # Far field, inline: monopole at each member's position.
+                # Far field, inline at each member's position: monopole,
+                # or monopole + quadrupole in the normalized form of
+                # grid_tree._quad_cell_accel (r⁻⁵/r⁻⁷ powers leave fp32
+                # range at 1e7-scale coordinates).
                 fd2 = None
                 fdiffs = []
                 for d in range(dim):
@@ -357,12 +424,44 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                     fdiffs.append(fd)  # [B, G, Wc]
                     fd2 = fd * fd if fd2 is None else fd2 + fd * fd
                 finv = jax.lax.rsqrt(fd2 + soft2)
-                fw = jnp.where(mac_ok[:, None, :],
-                               nmass[:, None, :] * (finv * finv * finv),
-                               0.0)
-                acc2 = acc + jnp.stack(
-                    [jnp.sum(fw * fdiffs[d], axis=-1) for d in range(dim)],
-                    axis=-1)
+                mask = mac_ok[:, None, :]
+                if multipole == "quad":
+                    Sq = nt[..., 6 + dim:6 + dim + len(qpairs)]
+                    # Coincident guard (same as _quad_cell_accel): a leaf
+                    # node's COM can equal a group body's position exactly
+                    # (rsqrt(0)=inf, and 0·inf=NaN leaks through the
+                    # normalized direction even under the MAC mask).
+                    uq = jnp.where(fd2 < _DIST2_GUARD, 0.0, finv)
+                    u2 = uq * uq
+                    ndir = [fdiffs[d] * uq for d in range(dim)]
+                    s_hat = {p: Sq[..., i_][:, None, :] * u2
+                             for i_, p in enumerate(qpairs)}
+
+                    def sh(a, b):
+                        return s_hat.get((a, b)) if (a, b) in s_hat \
+                            else s_hat[(b, a)]
+
+                    Sn = [sum(sh(d, e) * ndir[e] for e in range(dim))
+                          for d in range(dim)]
+                    nSn = sum(ndir[d] * Sn[d] for d in range(dim))
+                    trS = sum(sh(d, d) for d in range(dim))
+                    radial = jnp.where(
+                        mask,
+                        (nmass[:, None, :] + 7.5 * nSn - 1.5 * trS) * u2,
+                        0.0)
+                    acc2 = acc + jnp.stack(
+                        [jnp.sum(radial * ndir[d]
+                                 - jnp.where(mask, 3.0 * u2 * Sn[d], 0.0),
+                                 axis=-1)
+                         for d in range(dim)], axis=-1)
+                else:
+                    fw = jnp.where(mask,
+                                   nmass[:, None, :] * (finv * finv * finv),
+                                   0.0)
+                    acc2 = acc + jnp.stack(
+                        [jnp.sum(fw * fdiffs[d], axis=-1)
+                         for d in range(dim)],
+                        axis=-1)
 
                 # Stage children / near nodes into per-chunk slots of the
                 # iteration buffers (compacted once per iteration below).
@@ -544,9 +643,33 @@ def bvh_forces(
     theta: Optional[float] = None,
     group_size: Optional[int] = None,
     batch: int = 128,
+    frontier_width: Optional[int] = None,
+    near_cap: Optional[int] = None,
+    max_escalations: int = 3,
+    multipole: str = "quad",
 ) -> jax.Array:
     """Per-body forces via the Hilbert radix BVH (parity: bvh_*_n_body,
-    methods.cpp:377-423, with max_bodies_per_leaf=16 default methods.h:57)."""
+    methods.cpp:377-423, with max_bodies_per_leaf=16 default methods.h:57).
+
+    ``multipole="quad"`` (default) adds the COM-centered quadrupole to
+    MAC-accepted nodes — the same upgrade the grid-BH tier ships (the
+    reference's BVH is monopole-only, bvh.cpp:221-248, available as
+    ``multipole="mono"``). Measured on the reference Accuracy(%) metric
+    the monopole MAC at θ=0.25 decays to 82-84% in 2D by N=2e5; the
+    quadrupole holds ≥99%.
+
+    Capacity auto-escalation: the traversal's frontier/near-list capacities
+    default to sizes measured on uniform inputs; strongly clustered inputs
+    (e.g. a Plummer core) can exceed them, which poisons the affected
+    groups with NaN rather than silently truncating. This driver watches
+    the traversal's true high-water counts and re-runs with doubled
+    capacities (up to ``max_escalations`` recompiles, capacities bounded by
+    2N) until the walk fits — so clustered distributions are handled
+    automatically at the cost of an extra compile, never answered wrong.
+    The escalation needs concrete stats, so call this un-jitted (each tier
+    entry point already is); under ``jit``, pass ``frontier_width`` /
+    ``near_cap`` explicitly and treat NaN output as the overflow signal.
+    """
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     if group_size is None:
@@ -554,11 +677,32 @@ def bvh_forces(
         # 3D frontiers are ~theta^-3 wide so they benefit most.
         group_size = 128 if dim == 2 else 256
     key_bits = dim * MAX_BITS[dim]
-    tree = build_bvh(positions, masses, key_bits)
-    acc_sorted = bvh_accel_sorted(
-        tree, leaf_size=leaf_size, theta=float(theta),
-        softening=float(config.softening),
-        group_size=min(group_size, max(1, n)), batch=batch)
+    tree = build_bvh(positions, masses, key_bits,
+                     quad=(multipole == "quad"))
+    w = frontier_width if frontier_width is not None \
+        else min(1024 if dim == 2 else 8192, 2 * n)
+    nl = near_cap if near_cap is not None \
+        else min(1024 if dim == 2 else 8192, 2 * n)
+    for attempt in range(max_escalations + 1):
+        acc_sorted, maxw, ncnt = bvh_accel_sorted(
+            tree, leaf_size=leaf_size, theta=float(theta),
+            softening=float(config.softening),
+            group_size=min(group_size, max(1, n)), batch=batch,
+            frontier_width=w, near_cap=nl, return_stats=True,
+            multipole=multipole)
+        wc = min(w, 256)
+        w_eff = -(-w // wc) * wc  # the kernel's chunk-rounded capacity
+        need_w, need_nl = int(maxw), int(ncnt)
+        fits = need_w <= w_eff and need_nl <= nl
+        if fits or attempt == max_escalations or (w_eff >= 2 * n
+                                                  and nl >= 2 * n):
+            break
+        # Measured counts under overflow are lower bounds (a truncated
+        # frontier expands less), so double past them.
+        if need_w > w_eff:
+            w = min(2 * n, max(2 * w_eff, 2 * need_w))
+        if need_nl > nl:
+            nl = min(2 * n, max(2 * nl, 2 * need_nl))
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc

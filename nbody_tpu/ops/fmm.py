@@ -53,6 +53,7 @@ from .grid_tree import (
     auto_leaf_level,
     build_grid_tree,
     cell_coords,
+    check_grid_capacity,
     compute_capacity,
 )
 from .keys import morton_key_from_coords
@@ -326,28 +327,27 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
     # phase dropped from ~5.5 s (slot form) to the cost of one [N, nD]
     # gather plus dense per-body basis math.
     def l2p_all():
-        body_leaf = tree.leaf_ids  # [N] sorted-body leaf ids
-        lw_body = L_leaf[body_leaf]  # [N, nD]
-        bxy = cell_coords(body_leaf.astype(jnp.uint32), dim).astype(dtype)
-        centers_body = tree.lo + (bxy + 0.5) * leaf_size_phys
-        y_body = (tree.pos_sorted - centers_body) / half_leaf  # [N, D]
-
+        # The [N, nD] local-weight gather must happen PER BLOCK: at N=5e6
+        # 3D order 8 (nD = 512) the whole-array gather plus its padding
+        # copy is 2×9.5 GB of HLO temps — the round-2 sweep's OOM ("Program
+        # hbm requirement 19.09G"). Blocks index bodies and gather their
+        # own [blk, nD] slab (16 MB), keeping the peak independent of N.
         n_bodies = tree.n
         blk = 8192
         nb_l2p = -(-n_bodies // blk)
-        pad = nb_l2p * blk - n_bodies
+        # Padded tail indices clamp to the last body; their rows land in
+        # the padded output region and are dropped by the final [:n].
+        idx_b = jnp.minimum(
+            jnp.arange(nb_l2p * blk, dtype=jnp.int32).reshape(nb_l2p, blk),
+            n_bodies - 1)
 
-        def padz(x):
-            if pad == 0:
-                return x
-            return jnp.concatenate(
-                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-
-        y_b = padz(y_body).reshape(nb_l2p, blk, dim)
-        lw_b = padz(lw_body).reshape(nb_l2p, blk, nD)
-
-        def one_block(args):
-            y, lw = args  # [B, D], [B, nD]
+        def one_block(ib):
+            body_leaf = tree.leaf_ids[ib]  # [B]
+            lw = L_leaf[body_leaf]  # [B, nD]
+            bxy = cell_coords(body_leaf.astype(jnp.uint32),
+                              dim).astype(dtype)
+            centers = tree.lo + (bxy + 0.5) * leaf_size_phys
+            y = (tree.pos_sorted[ib] - centers) / half_leaf  # [B, D]
             s_all, ds_all = [], []
             for d in range(dim):
                 s_d, ds_d = _interp_and_grad_1d(n_cheb, y[:, d], Tt)
@@ -367,7 +367,7 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
                 cols.append(g)
             return jnp.stack(cols, axis=-1)  # [B, D]
 
-        acc = jax.lax.map(one_block, (y_b, lw_b)).reshape(-1, dim)
+        acc = jax.lax.map(one_block, idx_b).reshape(-1, dim)
         return acc[:n_bodies]
 
     if "l2p" in _debug_skip:
@@ -446,15 +446,16 @@ def fmm_forces(
     """
     n, dim = positions.shape
     if dim == 3 and n >= 5_000_000:
-        # N=5e6 3D at the default batch crashed the remote compiler
-        # (tpu_compile_helper exit 1, round-2 sweep); halving the batch
-        # halves every per-level intermediate. 4M 3D compiles fine at
-        # the default.
-        leaf_batch = min(leaf_batch, 512)
+        # N=5e6 3D crashed the remote compiler (tpu_compile_helper exit 1,
+        # round-2 sweep) at the default batch AND at 512; shrinking the
+        # batch shrinks every per-level intermediate. 4M 3D compiles fine
+        # at the default.
+        leaf_batch = min(leaf_batch, 256)
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim)
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+        check_grid_capacity(capacity, n, leaf_level, dim, "fmm_forces")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     tree = build_grid_tree(positions, masses, leaf_level, capacity)
     acc_sorted = fmm_accel_sorted(

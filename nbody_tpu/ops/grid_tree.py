@@ -182,6 +182,31 @@ def compute_capacity(positions, leaf_level: int) -> int:
     return max(8, int(-(-cmax // 8) * 8))  # round up to multiple of 8
 
 
+# Above this leaf capacity the uniform grid has degenerated (a Plummer-core
+# style density peak): near-field pair work scales with capacity², so e.g.
+# Plummer N=1e5 3D lands capacity ~64k ⇒ a ~40 TB near tensor. Guarded at
+# the driver level — the adaptive radix BVH tier handles such inputs in
+# O(N) memory (and auto-escalates its traversal capacities).
+CLUSTERED_CAPACITY_LIMIT = 4096
+
+
+def check_grid_capacity(capacity: int, n: int, leaf_level: int, dim: int,
+                        what: str, limit: Optional[int] = None) -> None:
+    """Refuse (loudly, with guidance) to run a degenerate uniform grid."""
+    limit = CLUSTERED_CAPACITY_LIMIT if limit is None else limit
+    if capacity > limit:
+        ncells = 1 << (dim * leaf_level)
+        raise ValueError(
+            f"{what}: the densest leaf cell holds {capacity} of {n} bodies "
+            f"(leaf level {leaf_level}, {ncells} cells, mean occupancy "
+            f"{n / ncells:.1f}) — this input is too clustered for the "
+            f"uniform grid tree, whose near-field work scales with the max "
+            f"leaf occupancy squared. Use bvh_forces (adaptive Hilbert-"
+            f"radix BVH, O(N) memory on any distribution) for strongly "
+            f"clustered inputs, or pass leaf_level/capacity explicitly to "
+            f"override this guard.")
+
+
 def _quad_pairs(dim: int):
     """Packed index pairs of the symmetric second-moment tensor."""
     return ([(0, 0), (1, 1), (0, 1)] if dim == 2
@@ -498,7 +523,8 @@ def _quad_cell_accel(targets, com, mass, S):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "softening", "leaf_batch", "shard_axis",
-                     "num_shards", "p2p_impl", "multipole", "_debug_skip"))
+                     "num_shards", "p2p_impl", "multipole", "num_segments",
+                     "_debug_skip"))
 def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            softening: float = 0.0,
                            leaf_batch: int = 512,
@@ -506,6 +532,8 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            num_shards: int = 1,
                            p2p_impl: str = "jnp",
                            multipole: str = "mono",
+                           num_segments: int = 1,
+                           segment_index: Optional[jax.Array] = None,
                            _debug_skip: str = "") -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
@@ -540,6 +568,18 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         start = jax.lax.axis_index(shard_axis).astype(jnp.int32) * my_leaves
         all_leaf_ids = jax.lax.dynamic_slice_in_dim(
             all_leaf_ids, start, my_leaves)
+    if num_segments > 1:
+        # Dispatch-bounding: the whole leaf sweep is ONE device program
+        # (lax.map), and at N=5e6 3D θ=0.25 a single dispatch outruns the
+        # TPU watchdog ("TPU worker crashed", round-2 sweep). The caller
+        # splits the sweep into num_segments dispatches; segment_index is
+        # traced so one compilation serves every segment.
+        seg_leaves = my_leaves // num_segments
+        sidx = jnp.asarray(
+            0 if segment_index is None else segment_index, jnp.int32)
+        all_leaf_ids = jax.lax.dynamic_slice_in_dim(
+            all_leaf_ids, sidx * seg_leaves, seg_leaves)
+        my_leaves = seg_leaves
     # num_leaves = 2^(D·L) and leaf_batch is a power of two, so clamping
     # makes the batches divide evenly — padding would duplicate leaf 0 into
     # the scatter-add below. Also clamp so the [B, (2k+1)^D·TWR, 4] near
@@ -653,6 +693,7 @@ def barnes_hut_grid(
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     k = theta_to_ring(theta)
+    num_segments = 1
     if dim == 3 and k >= 3 and n >= 2_000_000:
         # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the
         # default 512-leaf batches crashed the remote compiler
@@ -661,17 +702,28 @@ def barnes_hut_grid(
         # But 128 made the single dispatch long enough to trip the TPU
         # watchdog at 5e6 ("TPU worker crashed"); 256 is the middle.
         leaf_batch = min(leaf_batch, 256)
+        if n >= 4_000_000:
+            # Even at 256 the fused sweep is ONE ~30 s dispatch at N=5e6
+            # and the watchdog kills the worker (2e6's 10.8 s passes);
+            # split into bounded dispatches (one compile, traced index).
+            num_segments = 4
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim, k=k)
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+        check_grid_capacity(capacity, n, leaf_level, dim, "barnes_hut_grid")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
 
     tree = build_grid_tree(positions, masses, leaf_level, capacity,
                            quad=(multipole == "quad"))
-    acc_sorted = grid_tree_accel_sorted(
-        tree, k=k, softening=float(config.softening), leaf_batch=leaf_batch,
-        p2p_impl=p2p_impl, multipole=multipole)
+    acc_sorted = None
+    for si in range(num_segments):
+        part = grid_tree_accel_sorted(
+            tree, k=k, softening=float(config.softening),
+            leaf_batch=leaf_batch, p2p_impl=p2p_impl, multipole=multipole,
+            num_segments=num_segments,
+            segment_index=None if num_segments == 1 else jnp.int32(si))
+        acc_sorted = part if acc_sorted is None else acc_sorted + part
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc

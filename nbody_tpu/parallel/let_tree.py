@@ -55,6 +55,7 @@ from ..ops.grid_tree import (
     _window_rows_raw,
     auto_leaf_level,
     cell_coords,
+    check_grid_capacity,
     compute_capacity,
     leaf_window_sums,
     reduce_levels,
@@ -662,6 +663,7 @@ def _let_launch(local_fn, positions, masses, config, mesh, axis_name, k,
     cc = num_leaves // nshard
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+        check_grid_capacity(capacity, n, leaf_level, dim, "let_tree")
     # Per-(src,dst) exchange bucket: uniform expectation is N/P², padded by
     # headroom and rounded so PH stays 8-aligned.
     H = pad_to_multiple(

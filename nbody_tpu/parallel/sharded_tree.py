@@ -25,6 +25,7 @@ from ..config import DEFAULT_GRAVITY, GravityConfig
 from ..ops.grid_tree import (
     auto_leaf_level,
     build_grid_tree,
+    check_grid_capacity,
     compute_capacity,
     grid_tree_accel_sorted,
     theta_to_ring,
@@ -61,6 +62,8 @@ def barnes_hut_sharded(
         leaf_level += 1
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+        check_grid_capacity(capacity, n, leaf_level, dim,
+                            "barnes_hut_sharded")
 
     tree = build_grid_tree(positions, masses, leaf_level, capacity,
                            quad=(multipole == "quad"))
@@ -111,6 +114,7 @@ def fmm_sharded(
         leaf_level += 1
     if capacity is None:
         capacity = compute_capacity(positions, leaf_level)
+        check_grid_capacity(capacity, n, leaf_level, dim, "fmm_sharded")
 
     tree = build_grid_tree(positions, masses, leaf_level, capacity)
 
@@ -140,6 +144,7 @@ def bvh_sharded(
     leaf_size: int = 16,
     theta: Optional[float] = None,
     group_size: Optional[int] = None,
+    multipole: str = "quad",
 ) -> jax.Array:
     """BVH forces [N, D]: group walks sharded over the mesh (replicated
     radix tree, per-chip group slices, psum-combined partials)."""
@@ -155,7 +160,8 @@ def bvh_sharded(
         group_size = 128 if dim == 2 else 256
     group_size = min(group_size, max(1, n))
 
-    tree = build_bvh(positions, masses, dim * MAX_BITS[dim])
+    tree = build_bvh(positions, masses, dim * MAX_BITS[dim],
+                     quad=(multipole == "quad"))
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -166,7 +172,8 @@ def bvh_sharded(
         return bvh_accel_sorted(
             tree_rep, leaf_size=leaf_size, theta=float(theta),
             softening=float(config.softening), group_size=group_size,
-            shard_axis=axis_name, num_shards=num_shards)
+            shard_axis=axis_name, num_shards=num_shards,
+            multipole=multipole)
 
     acc_sorted = jax.jit(eval_sharded)(tree)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)

@@ -94,6 +94,42 @@ def test_bvh_converges_with_theta(rng_key):
     assert errs[2] < 5e-3
 
 
+def test_quad_second_moments_exact(rng_key, dim):
+    """Every node's packed S equals the COM-centered second moment of its
+    body range (the parallel-axis bottom-up combine is exact in f64)."""
+    n = 300
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float64)
+    kb = dim * MAX_BITS[dim]
+    tree = build_bvh(sys.positions, sys.masses, kb, quad=True)
+    qpairs = ([(0, 0), (1, 1), (0, 1)] if dim == 2
+              else [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)])
+    rl, rr = np.asarray(tree.range_l), np.asarray(tree.range_r)
+    ps, ms = np.asarray(tree.pos_sorted), np.asarray(tree.mass_sorted)
+    S_tab = np.asarray(tree.node_table[:, 6 + dim:6 + dim + len(qpairs)])
+    for v in np.random.default_rng(0).integers(0, 2 * n - 1, 64):
+        x, m = ps[rl[v]:rr[v] + 1], ms[rl[v]:rr[v] + 1]
+        # (m·x)/m rounds one ulp off x for a single body at 1e7-scale
+        # coordinates, faking a ~1e-10 second moment — use x directly.
+        com = x[0] if len(x) == 1 else (m[:, None] * x).sum(0) / m.sum()
+        d = x - com
+        want = np.array([(m * d[:, a] * d[:, b]).sum() for a, b in qpairs])
+        np.testing.assert_allclose(S_tab[v], want, rtol=1e-8, atol=1e-10)
+
+
+def test_quad_beats_mono(rng_key, dim):
+    """The quadrupole far field must cut the MAC error vs monopole."""
+    sys = random_system(rng_key, 2048, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    errs = {}
+    for mp in ("mono", "quad"):
+        got = bvh_forces(sys.positions, sys.masses, cfg, theta=0.5,
+                         batch=128, group_size=32, multipole=mp)
+        errs[mp] = float(scale_normalized_error(got, want))
+    assert errs["quad"] < 0.4 * errs["mono"], errs
+    assert errs["quad"] < 5e-3
+
+
 def test_duplicate_positions(rng_key):
     """Identical keys exercise the index-tiebreak path (Karras §4)."""
     base = random_system(rng_key, 32, dim=2, dtype=jnp.float64)

@@ -40,3 +40,43 @@ def test_bvh_on_plummer(rng_key):
     got = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
                      group_size=16, batch=128)
     assert float(scale_normalized_error(got, want)) < 5e-3
+
+
+def _clustered_system(key, n: int, frac: float = 0.9, dim: int = 3):
+    """``frac`` of the bodies in a 1e-3-wide ball, the rest uniform in the
+    unit cube — the densest leaf cell holds ~frac·n bodies at any coarse
+    leaf level."""
+    import jax
+    k1, k2 = jax.random.split(key)
+    nc = int(n * frac)
+    core = 1e-3 * jax.random.uniform(k1, (nc, dim), jnp.float64)
+    halo = jax.random.uniform(k2, (n - nc, dim), jnp.float64)
+    pos = jnp.concatenate([core + 0.5, halo])
+    mass = jnp.ones((n,), jnp.float64)
+    return pos, mass
+
+
+def test_grid_guard_refuses_degenerate_capacity(rng_key):
+    """The uniform grid's capacity² near field would explode on a dense
+    core (measured: Plummer N=1e5 3D ⇒ capacity 63752, a ~40 TB near
+    tensor). The driver must refuse with guidance, not OOM."""
+    import pytest
+    pos, mass = _clustered_system(rng_key, 10_000)
+    cfg = GravityConfig(G=1.0, softening=1e-4)
+    with pytest.raises(ValueError, match="bvh_forces"):
+        barnes_hut_grid(pos, mass, cfg, theta=0.5)
+    with pytest.raises(ValueError, match="clustered"):
+        fmm_forces(pos, mass, cfg, order=4)
+
+
+def test_bvh_escalates_capacities_on_overflow(rng_key):
+    """Deliberately tiny traversal capacities must auto-escalate to a
+    finite, accurate answer (never a silent truncation)."""
+    pos, mass = _clustered_system(rng_key, 2_000)
+    cfg = GravityConfig(G=1.0, softening=1e-4)
+    want = brute_force_direct(pos, mass, cfg)
+    got = bvh_forces(pos, mass, cfg, theta=0.5, group_size=32,
+                     frontier_width=16, near_cap=16, max_escalations=8)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    # θ=0.5 group-MAC accuracy on this adversarial core sits ~3e-2.
+    assert float(scale_normalized_error(got, want)) < 5e-2

@@ -148,6 +148,23 @@ def test_quad_moments_match_direct(rng_key):
                                        atol=1e-12 * max(abs(want).max(), 1))
 
 
+def test_segmented_dispatch_matches_unsegmented(rng_key):
+    """Splitting the leaf sweep into bounded dispatches (the N=5e6 3D
+    watchdog workaround) must be bit-identical to the single dispatch."""
+    from nbody_tpu.ops.grid_tree import grid_tree_accel_sorted
+    sys = random_system(rng_key, 2048, dim=3, dtype=jnp.float64)
+    lvl = auto_leaf_level(2048, 3)
+    cap = compute_capacity(sys.positions, lvl)
+    tree = build_grid_tree(sys.positions, sys.masses, lvl, cap, quad=True)
+    base = grid_tree_accel_sorted(tree, k=1, leaf_batch=64,
+                                  multipole="quad")
+    seg = sum(grid_tree_accel_sorted(tree, k=1, leaf_batch=64,
+                                     multipole="quad", num_segments=4,
+                                     segment_index=jnp.int32(si))
+              for si in range(4))
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(base))
+
+
 def test_bh_small_n(rng_key):
     # N small enough that the tree degenerates to near-field only.
     sys = random_system(rng_key, 16, dim=2, dtype=jnp.float64)

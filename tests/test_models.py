@@ -65,6 +65,14 @@ def test_solar_system_earth_period():
     np.testing.assert_allclose(earth1, earth0, atol=2e-2)
 
 
+def test_solar_system_warns_without_x64():
+    """float64 request with x64 off would silently downcast — must warn."""
+    import pytest
+    with jax.enable_x64(False):
+        with pytest.warns(UserWarning, match="float64"):
+            solar_system()
+
+
 def test_plummer_virial(rng_key):
     sys, cfg = plummer_sphere(rng_key, 300, dtype=jnp.float64)
     assert np.isclose(float(jnp.sum(sys.masses)), 1.0, rtol=1e-6)
