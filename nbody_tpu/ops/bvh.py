@@ -222,6 +222,19 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     # combine runs as a bounded relaxation: each round resolves every node
     # whose two children are ready (leaves start ready), finishing in
     # ≤ tree-depth rounds with two [2N-1]-row gathers per round.
+    #
+    # Mass and COM are rebuilt in the SAME relaxation (pairwise tree
+    # summation) rather than taken from the prefix-sum differences above:
+    # at N≥1e5 the m·x cumsum reaches ~1e12-scale magnitudes, so a small
+    # node's difference carries an absolute error that can rival its own
+    # extent. The monopole tolerates that COM jitter (relative force error
+    # ~ δ/r), but the parallel-axis combine does not — com_v must be the
+    # exact weighted mean of its children's COMs or each child term leaks
+    # an m_c·(d·δ) error of the same order as S itself (measured: BVH-quad
+    # NormError 1.6e-3 vs mono 6.5e-5 at N=2e5 2D; reference Accuracy(%)
+    # 68.7%). Pairwise bottom-up sums have O(log N · eps) error and make
+    # mass/COM/S self-consistent, matching the grid tree's windowed-local
+    # build (grid_tree.reduce_levels) that never showed the problem.
     node_quad = None
     if quad:
         qpairs = _quad_pairs(dim)
@@ -229,28 +242,43 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
         depth_bound = key_bits + max(1, math.ceil(
             math.log2(max(n, 2)))) + 2
         S0 = jnp.zeros((num_nodes, nq), pos_s.dtype)
+        # Leaves ready with exact single-body stats; internal rows start
+        # from the prefix-sum values but are only ever read after being
+        # overwritten (children must be ready).
+        mass0 = node_mass.at[n - 1:].set(mass_s)
+        com0 = node_com.at[n - 1:].set(pos_s)
         ready0 = jnp.arange(num_nodes, dtype=jnp.int32) >= (n - 1)
 
         def _combine_round(state):
-            it, S, ready = state
+            it, S, m_bu, com_bu, ready = state
             can = (~ready) & ready[left] & ready[right_all]
+            m_new = m_bu[left] + m_bu[right_all]
+            mx_new = (m_bu[left][:, None] * com_bu[left]
+                      + m_bu[right_all][:, None] * com_bu[right_all])
+            com_new = jnp.where(
+                (m_new > 0)[:, None],
+                mx_new / jnp.maximum(m_new, 1e-30)[:, None],
+                com_bu[left])
 
             def child_term(cid):
-                d = node_com[cid] - node_com  # [2N-1, D]
+                d = com_bu[cid] - com_new  # [2N-1, D]
                 dd = jnp.stack([d[:, a] * d[:, b] for a, b in qpairs],
                                axis=-1)
-                return S[cid] + node_mass[cid][:, None] * dd
+                return S[cid] + m_bu[cid][:, None] * dd
 
             S_new = child_term(left) + child_term(right_all)
             S = jnp.where(can[:, None], S_new, S)
-            return it + 1, S, ready | can
+            m_bu = jnp.where(can, m_new, m_bu)
+            com_bu = jnp.where(can[:, None], com_new, com_bu)
+            return it + 1, S, m_bu, com_bu, ready | can
 
         def _not_done(state):
-            it, _, ready = state
+            it, _, _, _, ready = state
             return (it < depth_bound) & jnp.any(~ready)
 
-        _, node_quad, _ = jax.lax.while_loop(
-            _not_done, _combine_round, (jnp.int32(0), S0, ready0))
+        _, node_quad, node_mass, node_com, _ = jax.lax.while_loop(
+            _not_done, _combine_round,
+            (jnp.int32(0), S0, mass0, com0, ready0))
 
     # Packed hot-path tables (see BVHTree docstring). The table dtype
     # follows the input so f64 oracle runs stay exact; in f32, node ids up

@@ -116,6 +116,39 @@ def test_quad_second_moments_exact(rng_key, dim):
         np.testing.assert_allclose(S_tab[v], want, rtol=1e-8, atol=1e-10)
 
 
+def test_quad_build_f32_com_consistency(rng_key, dim):
+    """Regression: quad-build node COM must come from the pairwise bottom-up
+    combine, not global prefix-sum differences.
+
+    At f32 with the reference's 1e7-scale coordinates, the m·x cumsum
+    reaches ~1e12 magnitudes, so a small node's cumsum difference carries
+    an absolute COM error that rivals the node's own extent. The monopole
+    tolerates that jitter, but the parallel-axis quadrupole combine does
+    not: it leaked S errors of the same order as S itself (measured
+    pre-fix: BVH-quad NormError 1.6e-3 vs mono 6.5e-5 at N=2e5 2D;
+    reference Accuracy(%) 68.7%). Post-fix the pairwise sums keep every
+    node's COM within a few f32 ulps of the f64 value."""
+    n = 30_000
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float32)
+    kb = dim * MAX_BITS[dim]
+    tree = build_bvh(sys.positions, sys.masses, kb, quad=True)
+    rl, rr = np.asarray(tree.range_l), np.asarray(tree.range_r)
+    ps = np.asarray(tree.pos_sorted, np.float64)
+    ms = np.asarray(tree.mass_sorted, np.float64)
+    cm = np.concatenate([[0.0], np.cumsum(ms)])
+    cmx = np.vstack([np.zeros((1, dim)),
+                     np.cumsum(ms[:, None] * ps, axis=0)])
+    want_mass = cm[rr + 1] - cm[rl]
+    want_com = (cmx[rr + 1] - cmx[rl]) / want_mass[:, None]
+    com_err = np.abs(np.asarray(tree.node_com, np.float64)
+                     - want_com).max()
+    # f32 ulp at 1e7-scale coordinates is ~1; pairwise sums stay within
+    # ~10 ulps even at the root. Prefix-sum differences gave ~1e3-1e4.
+    assert com_err < 50.0, com_err
+    np.testing.assert_allclose(np.asarray(tree.node_mass, np.float64),
+                               want_mass, rtol=1e-5)
+
+
 def test_quad_beats_mono(rng_key, dim):
     """The quadrupole far field must cut the MAC error vs monopole."""
     sys = random_system(rng_key, 2048, dim=dim, dtype=jnp.float64)
