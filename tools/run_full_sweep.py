@@ -50,6 +50,12 @@ def completed_rows(results_dir):
     """(method, n, dim, accuracy_present) rows with time >= 0 on disk."""
     done = set()
     for path in glob.glob(os.path.join(results_dir, "*.csv")):
+        # The aggregation output lives in the same directory; counting its
+        # rows as completed chunks would mask re-runs after a method fix
+        # (and double-count on re-aggregation — same bug as analysis.py's
+        # load_results, fixed separately).
+        if os.path.basename(path) == "aggregated_results.csv":
+            continue
         with open(path) as f:
             for row in csv.DictReader(f):
                 try:
