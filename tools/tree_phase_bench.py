@@ -46,15 +46,21 @@ def main():
     system = nb.random_system(jax.random.key(7), args.n, dim=args.dim,
                               dtype=jnp.float32)
     pos, mass = system.positions, system.masses
-    occ = 32 if args.fmm or args.dim == 3 else 16
-    L = auto_leaf_level(args.n, args.dim,
-                        target_occupancy=occ)
+    # Mirror the driver paths' level choice: barnes_hut_grid scales the
+    # target occupancy by the near-ring radius k (wide θ=0.25 rings want
+    # emptier leaves — occ 32 at k=3 in 3D OOMs the [B, 343, TWR, 4] near
+    # tensor); FMM uses ring=1.
+    if args.fmm:
+        L = auto_leaf_level(args.n, args.dim, target_occupancy=32)
+    else:
+        L = auto_leaf_level(args.n, args.dim, k=theta_to_ring(args.theta))
     cap = compute_capacity(pos, L)
     soft = float(cfg.softening)
     print(f"backend={jax.default_backend()} N={args.n} dim={args.dim} "
           f"L={L} capacity={cap}")
 
-    build = functools.partial(build_grid_tree, leaf_level=L, capacity=cap)
+    build = functools.partial(build_grid_tree, leaf_level=L, capacity=cap,
+                              quad=not args.fmm)
 
     def run_build():
         t = build(pos, mass)
@@ -84,6 +90,7 @@ def main():
                             ("far,near", "bh scatter/slots only")):
             def run_bh(skip=skip):
                 acc = grid_tree_accel_sorted(tree, k=k, softening=soft,
+                                             multipole="quad",
                                              _debug_skip=skip)
                 return float(jnp.sum(jnp.abs(acc)))
             timed(label, run_bh)
