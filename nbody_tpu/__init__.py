@@ -51,6 +51,7 @@ from .simulation import Simulation, available_methods
 from .utils.accuracy import (
     accuracy_percentage,
     max_relative_error,
+    percentile_relative_error,
     scale_normalized_error,
 )
 

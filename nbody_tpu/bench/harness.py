@@ -25,7 +25,8 @@ import numpy as np
 
 from ..config import DEFAULT_TREE, GravityConfig, TreeConfig
 from ..state import System
-from ..utils.accuracy import accuracy_percentage, scale_normalized_error
+from ..utils.accuracy import (accuracy_percentage, percentile_relative_error,
+                              scale_normalized_error)
 from .registry import Method, reference_method_for
 
 
@@ -181,8 +182,11 @@ def run_benchmark(
                     forces, reference_forces))
                 res.norm_error = float(scale_normalized_error(
                     forces, reference_forces))
+                p99 = float(percentile_relative_error(
+                    forces, reference_forces, 99.0))
                 log(f"{method.name} accuracy: {res.accuracy_pct:.2f}% "
-                    f"(norm err {res.norm_error:.3e})")
+                    f"(norm err {res.norm_error:.3e}, "
+                    f"p99 rel err {p99:.3e})")
             print_validation_forces(forces, log)
         if csv_file is not None:
             csv_file.write(res.csv_row(compute_accuracy) + "\n")

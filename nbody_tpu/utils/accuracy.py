@@ -74,6 +74,25 @@ def scale_normalized_error(forces, reference_forces):
     return jnp.where(jnp.all(jnp.isfinite(forces)), err, jnp.inf)
 
 
+def percentile_relative_error(forces, reference_forces, q: float = 99.0):
+    """q-th percentile of per-body relative L2 error ‖ΔF_i‖/‖F_i^ref‖.
+
+    Companion to the reference's all-components-within-1% metric
+    (utils.h:171-219), which flips a body to "inaccurate" on a single
+    near-zero component: the percentile ignores the near-cancelling tail
+    and reports the error level typical bodies actually see (VERDICT
+    round-1 weak item 3 asked for this alongside the parity column).
+    Non-finite forces return inf (NaN-strict like the other metrics).
+    """
+    forces = jnp.asarray(forces)
+    reference_forces = jnp.asarray(reference_forces)
+    num = jnp.linalg.norm(forces - reference_forces, axis=-1)
+    den = jnp.linalg.norm(reference_forces, axis=-1)
+    err = num / jnp.maximum(den, jnp.finfo(den.dtype).tiny)
+    return jnp.where(jnp.all(jnp.isfinite(forces)),
+                     jnp.percentile(err, q), jnp.inf)
+
+
 def max_relative_error(forces, reference_forces):
     """max_i ‖F_i − F_i^ref‖ / ‖F_i^ref‖ — the BASELINE.json ≤1e-4 metric."""
     forces = jnp.asarray(forces)

@@ -1,7 +1,28 @@
 import jax.numpy as jnp
 import numpy as np
 
-from nbody_tpu import accuracy_percentage, max_relative_error
+from nbody_tpu import (accuracy_percentage, max_relative_error,
+                       percentile_relative_error)
+
+
+def test_percentile_ignores_cancelling_tail():
+    """One body with a near-cancelling net force wrecks max_relative_error
+    but not the p99 percentile (the metric's reason to exist)."""
+    n = 200
+    ref = np.ones((n, 2))
+    ref[0] = [1e-12, 0.0]  # near-cancelling net force
+    f = ref.copy()
+    f[:, 0] += 1e-3       # uniform absolute error
+    assert float(max_relative_error(f, ref)) > 1e6
+    p99 = float(percentile_relative_error(f, ref, 99.0))
+    assert 5e-4 < p99 < 2e-3, p99
+
+
+def test_percentile_nan_strict():
+    ref = np.ones((4, 2))
+    f = ref.copy()
+    f[2, 1] = np.nan
+    assert not np.isfinite(float(percentile_relative_error(f, ref)))
 
 
 def test_identical_is_100():
