@@ -663,6 +663,27 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     return (res, *stats) if return_stats else res
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("key_bits", "quad", "leaf_size", "theta", "softening",
+                     "group_size", "batch", "frontier_width", "near_cap",
+                     "multipole"))
+def _bvh_fused(positions, masses, g, *, key_bits, quad, leaf_size, theta,
+               softening, group_size, batch, frontier_width, near_cap,
+               multipole):
+    """Build + traversal + unsort + G-scale as ONE device program, with
+    the overflow stats riding the same dispatch (same relay-latency
+    rationale as grid_tree._bh_grid_fused — every eager glue op is a
+    ~30 ms round trip through the axon tunnel)."""
+    tree = build_bvh(positions, masses, key_bits, quad=quad)
+    acc_sorted, maxw, ncnt = bvh_accel_sorted(
+        tree, leaf_size=leaf_size, theta=theta, softening=softening,
+        group_size=group_size, batch=batch, frontier_width=frontier_width,
+        near_cap=near_cap, return_stats=True, multipole=multipole)
+    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+    return (g * masses)[:, None] * acc, maxw, ncnt
+
+
 def bvh_forces(
     positions: jax.Array,
     masses: jax.Array,
@@ -705,19 +726,18 @@ def bvh_forces(
         # 3D frontiers are ~theta^-3 wide so they benefit most.
         group_size = 128 if dim == 2 else 256
     key_bits = dim * MAX_BITS[dim]
-    tree = build_bvh(positions, masses, key_bits,
-                     quad=(multipole == "quad"))
+    g = jnp.asarray(config.G, positions.dtype)
     w = frontier_width if frontier_width is not None \
         else min(1024 if dim == 2 else 8192, 2 * n)
     nl = near_cap if near_cap is not None \
         else min(1024 if dim == 2 else 8192, 2 * n)
     for attempt in range(max_escalations + 1):
-        acc_sorted, maxw, ncnt = bvh_accel_sorted(
-            tree, leaf_size=leaf_size, theta=float(theta),
-            softening=float(config.softening),
+        forces, maxw, ncnt = _bvh_fused(
+            positions, masses, g, key_bits=key_bits,
+            quad=(multipole == "quad"), leaf_size=leaf_size,
+            theta=float(theta), softening=float(config.softening),
             group_size=min(group_size, max(1, n)), batch=batch,
-            frontier_width=w, near_cap=nl, return_stats=True,
-            multipole=multipole)
+            frontier_width=w, near_cap=nl, multipole=multipole)
         wc = min(w, 256)
         w_eff = -(-w // wc) * wc  # the kernel's chunk-rounded capacity
         need_w, need_nl = int(maxw), int(ncnt)
@@ -731,6 +751,4 @@ def bvh_forces(
             w = min(2 * n, max(2 * w_eff, 2 * need_w))
         if need_nl > nl:
             nl = min(2 * n, max(2 * nl, 2 * need_nl))
-    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
-    g = jnp.asarray(config.G, positions.dtype)
-    return (g * masses)[:, None] * acc
+    return forces

@@ -55,6 +55,7 @@ from .grid_tree import (
     cell_coords,
     check_grid_capacity,
     compute_capacity,
+    compute_capacity_cached,
 )
 from .keys import morton_key_from_coords
 
@@ -430,6 +431,23 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_level", "capacity", "order", "ring",
+                     "softening", "leaf_batch", "p2p_impl"))
+def _fmm_fused(positions, masses, g, *, leaf_level, capacity, order, ring,
+               softening, leaf_batch, p2p_impl):
+    """Build + 6-phase pipeline + unsort + G-scale as ONE device program
+    (same relay-latency rationale as grid_tree._bh_grid_fused: each eager
+    glue op is a ~30 ms round trip through the axon tunnel)."""
+    tree = build_grid_tree(positions, masses, leaf_level, capacity)
+    acc_sorted = fmm_accel_sorted(
+        tree, order=order, ring=ring, softening=softening,
+        leaf_batch=leaf_batch, p2p_impl=p2p_impl)
+    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+    return (g * masses)[:, None] * acc
+
+
 def fmm_forces(
     positions: jax.Array,
     masses: jax.Array,
@@ -454,14 +472,11 @@ def fmm_forces(
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim)
     if capacity is None:
-        capacity = compute_capacity(positions, leaf_level)
+        capacity = compute_capacity_cached(positions, leaf_level)
         check_grid_capacity(capacity, n, leaf_level, dim, "fmm_forces")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
-    tree = build_grid_tree(positions, masses, leaf_level, capacity)
-    acc_sorted = fmm_accel_sorted(
-        tree, order=order, ring=ring,
-        softening=float(config.softening), leaf_batch=leaf_batch,
-        p2p_impl=p2p_impl)
-    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     g = jnp.asarray(config.G, positions.dtype)
-    return (g * masses)[:, None] * acc
+    return _fmm_fused(
+        positions, masses, g, leaf_level=leaf_level, capacity=capacity,
+        order=order, ring=ring, softening=float(config.softening),
+        leaf_batch=leaf_batch, p2p_impl=p2p_impl)

@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import weakref
 from typing import List, Optional, Tuple
 
 import jax
@@ -180,6 +181,32 @@ def compute_capacity(positions, leaf_level: int) -> int:
     counts = jnp.zeros((1 << (dim * leaf_level),), jnp.int32).at[ids].add(1)
     cmax = int(jnp.max(counts))
     return max(8, int(-(-cmax // 8) * 8))  # round up to multiple of 8
+
+
+# The capacity probe is a device sync (~55 ms through the axon relay —
+# roughly a third of a whole BH evaluation at N=1e5 2D), and benchmark /
+# smoke harnesses call the drivers repeatedly on the SAME positions array.
+# jax.Arrays are immutable, so identity ⟹ identical data and an id-keyed
+# memo guarded by a weakref (ids are reused after collection) is exact,
+# not a heuristic. Bounded; dead entries are swept when full.
+_CAPACITY_MEMO: dict = {}
+_CAPACITY_MEMO_MAX = 128
+
+
+def compute_capacity_cached(positions, leaf_level: int) -> int:
+    key = (id(positions), leaf_level)
+    hit = _CAPACITY_MEMO.get(key)
+    if hit is not None and hit[0]() is positions:
+        return hit[1]
+    cap = compute_capacity(positions, leaf_level)
+    if len(_CAPACITY_MEMO) >= _CAPACITY_MEMO_MAX:
+        dead = [k for k, v in _CAPACITY_MEMO.items() if v[0]() is None]
+        for k in dead:
+            del _CAPACITY_MEMO[k]
+        if len(_CAPACITY_MEMO) >= _CAPACITY_MEMO_MAX:
+            _CAPACITY_MEMO.clear()
+    _CAPACITY_MEMO[key] = (weakref.ref(positions), cap)
+    return cap
 
 
 # Above this leaf capacity the uniform grid has degenerated (a Plummer-core
@@ -672,6 +699,31 @@ def theta_to_ring(theta: float) -> int:
     return max(1, math.ceil(1.0 / max(theta, 1e-3)) - 1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_level", "capacity", "k", "softening",
+                     "leaf_batch", "p2p_impl", "multipole"))
+def _bh_grid_fused(positions, masses, g, *, leaf_level, capacity, k,
+                   softening, leaf_batch, p2p_impl, multipole):
+    """Build + traversal + unsort + G-scale as ONE device program.
+
+    Through the axon relay every eager op is a ~30 ms host round-trip
+    (measured: null dispatch 30 ms), so the driver's former
+    build-dispatch / eval-dispatch / scatter / scale sequence cost
+    ~90-120 ms of pure latency per force evaluation — the whole reason
+    the N≤2e5 sweep rows trailed the reference CPU (BH 1e5 2D: 194 ms
+    total vs 105 ms with the glue fused away). Shapes stay static; only
+    the capacity probe (when requested) remains outside.
+    """
+    tree = build_grid_tree(positions, masses, leaf_level, capacity,
+                           quad=(multipole == "quad"))
+    acc_sorted = grid_tree_accel_sorted(
+        tree, k=k, softening=softening, leaf_batch=leaf_batch,
+        p2p_impl=p2p_impl, multipole=multipole)
+    acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
+    return (g * masses)[:, None] * acc
+
+
 def barnes_hut_grid(
     positions: jax.Array,
     masses: jax.Array,
@@ -710,10 +762,21 @@ def barnes_hut_grid(
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim, k=k)
     if capacity is None:
-        capacity = compute_capacity(positions, leaf_level)
+        capacity = compute_capacity_cached(positions, leaf_level)
         check_grid_capacity(capacity, n, leaf_level, dim, "barnes_hut_grid")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
+    g = jnp.asarray(config.G, positions.dtype)
 
+    if num_segments == 1:
+        # One fused dispatch (see _bh_grid_fused: the eager glue cost
+        # ~90-120 ms of relay latency per evaluation).
+        return _bh_grid_fused(
+            positions, masses, g, leaf_level=leaf_level, capacity=capacity,
+            k=k, softening=float(config.softening), leaf_batch=leaf_batch,
+            p2p_impl=p2p_impl, multipole=multipole)
+
+    # Watchdog-bounded segmented path (N≥4M 3D wide rings): each segment
+    # must stay its own dispatch — that is the point of the split.
     tree = build_grid_tree(positions, masses, leaf_level, capacity,
                            quad=(multipole == "quad"))
     acc_sorted = None
@@ -722,8 +785,7 @@ def barnes_hut_grid(
             tree, k=k, softening=float(config.softening),
             leaf_batch=leaf_batch, p2p_impl=p2p_impl, multipole=multipole,
             num_segments=num_segments,
-            segment_index=None if num_segments == 1 else jnp.int32(si))
+            segment_index=jnp.int32(si))
         acc_sorted = part if acc_sorted is None else acc_sorted + part
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
-    g = jnp.asarray(config.G, positions.dtype)
     return (g * masses)[:, None] * acc

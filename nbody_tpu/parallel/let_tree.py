@@ -56,7 +56,7 @@ from ..ops.grid_tree import (
     auto_leaf_level,
     cell_coords,
     check_grid_capacity,
-    compute_capacity,
+    compute_capacity_cached,
     leaf_window_sums,
     reduce_levels,
     theta_to_ring,
@@ -662,7 +662,7 @@ def _let_launch(local_fn, positions, masses, config, mesh, axis_name, k,
     num_leaves = 1 << (dim * leaf_level)
     cc = num_leaves // nshard
     if capacity is None:
-        capacity = compute_capacity(positions, leaf_level)
+        capacity = compute_capacity_cached(positions, leaf_level)
         check_grid_capacity(capacity, n, leaf_level, dim, "let_tree")
     # Per-(src,dst) exchange bucket: uniform expectation is N/P², padded by
     # headroom and rounded so PH stays 8-aligned.

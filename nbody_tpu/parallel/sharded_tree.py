@@ -26,7 +26,7 @@ from ..ops.grid_tree import (
     auto_leaf_level,
     build_grid_tree,
     check_grid_capacity,
-    compute_capacity,
+    compute_capacity_cached,
     grid_tree_accel_sorted,
     theta_to_ring,
 )
@@ -61,7 +61,7 @@ def barnes_hut_sharded(
     while (1 << (dim * leaf_level)) < num_shards:
         leaf_level += 1
     if capacity is None:
-        capacity = compute_capacity(positions, leaf_level)
+        capacity = compute_capacity_cached(positions, leaf_level)
         check_grid_capacity(capacity, n, leaf_level, dim,
                             "barnes_hut_sharded")
 
@@ -113,7 +113,7 @@ def fmm_sharded(
     while (1 << (dim * leaf_level)) < num_shards:
         leaf_level += 1
     if capacity is None:
-        capacity = compute_capacity(positions, leaf_level)
+        capacity = compute_capacity_cached(positions, leaf_level)
         check_grid_capacity(capacity, n, leaf_level, dim, "fmm_sharded")
 
     tree = build_grid_tree(positions, masses, leaf_level, capacity)
