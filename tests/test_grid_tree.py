@@ -165,6 +165,92 @@ def test_segmented_dispatch_matches_unsegmented(rng_key):
     np.testing.assert_array_equal(np.asarray(seg), np.asarray(base))
 
 
+def test_capacity_memo_exact_and_weakref_guarded(rng_key):
+    """compute_capacity_cached: identity hit returns the same value without
+    recomputation; a NEW array whose id happens to be reused must miss
+    (weakref guard) — and distinct data must give its own capacity."""
+    from nbody_tpu.ops.grid_tree import (_CAPACITY_MEMO, compute_capacity,
+                                         compute_capacity_cached)
+    sys = random_system(rng_key, 4096, dim=2, dtype=jnp.float32)
+    lvl = auto_leaf_level(4096, 2)
+    want = compute_capacity(sys.positions, lvl)
+    assert compute_capacity_cached(sys.positions, lvl) == want
+    key = (id(sys.positions), lvl)
+    assert key in _CAPACITY_MEMO
+    # Hit path: poison the stored value to prove the second call is a hit.
+    _CAPACITY_MEMO[key] = (_CAPACITY_MEMO[key][0], -123)
+    assert compute_capacity_cached(sys.positions, lvl) == -123
+    _CAPACITY_MEMO[key] = (_CAPACITY_MEMO[key][0], want)
+    # Different (clustered) data: its own entry, not the old one.
+    tight = sys.positions * 1e-6
+    assert compute_capacity_cached(tight, lvl) == compute_capacity(
+        tight, lvl)
+    # Dead-object guard: a dict entry whose referent was collected must
+    # never serve a hit for a different live array at the same id.
+    import weakref
+
+    class Dummy:
+        pass
+
+    d = Dummy()
+    fake_key = (id(sys.positions), lvl + 1)
+    _CAPACITY_MEMO[fake_key] = (weakref.ref(d), -7)
+    del d  # referent dies; ref() is None -> must miss and recompute
+    assert compute_capacity_cached(sys.positions, lvl + 1) == \
+        compute_capacity(sys.positions, lvl + 1)
+    for k in (key, fake_key, (id(tight), lvl)):
+        _CAPACITY_MEMO.pop(k, None)
+
+
+def test_fused_driver_matches_component_path(rng_key):
+    """The single-dispatch fused drivers (_bh_grid_fused / _fmm_fused /
+    _bvh_fused) must be bit-identical to composing their pieces eagerly —
+    they exist purely to remove host-device round trips."""
+    from nbody_tpu.ops.bvh import MAX_BITS as BVH_BITS
+    from nbody_tpu.ops.bvh import build_bvh, bvh_accel_sorted, bvh_forces
+    from nbody_tpu.ops.fmm import fmm_accel_sorted, fmm_forces
+    from nbody_tpu.ops.grid_tree import grid_tree_accel_sorted
+
+    sys = random_system(rng_key, 1024, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    g = jnp.asarray(cfg.G, sys.positions.dtype)
+    lvl = auto_leaf_level(1024, 2)
+    cap = compute_capacity(sys.positions, lvl)
+
+    # BH grid.
+    fused = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.5,
+                            leaf_level=lvl, capacity=cap)
+    tree = build_grid_tree(sys.positions, sys.masses, lvl, cap, quad=True)
+    acc = grid_tree_accel_sorted(tree, k=1, softening=float(cfg.softening),
+                                 multipole="quad")
+    manual = (g * sys.masses)[:, None] * \
+        jnp.zeros_like(acc).at[tree.order].set(acc)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(manual))
+
+    # FMM.
+    fused = fmm_forces(sys.positions, sys.masses, cfg, order=4,
+                       leaf_level=lvl, capacity=cap)
+    tree = build_grid_tree(sys.positions, sys.masses, lvl, cap)
+    acc = fmm_accel_sorted(tree, order=4, ring=1,
+                           softening=float(cfg.softening))
+    manual = (g * sys.masses)[:, None] * \
+        jnp.zeros_like(acc).at[tree.order].set(acc)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(manual))
+
+    # BVH (capacities passed explicitly so no escalation re-run).
+    kb = 2 * BVH_BITS[2]
+    fused = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                       frontier_width=1024, near_cap=1024)
+    btree = build_bvh(sys.positions, sys.masses, kb, quad=True)
+    acc = bvh_accel_sorted(btree, theta=0.25,
+                           softening=float(cfg.softening),
+                           group_size=128, frontier_width=1024,
+                           near_cap=1024, multipole="quad")
+    manual = (g * sys.masses)[:, None] * \
+        jnp.zeros_like(acc).at[btree.order].set(acc)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(manual))
+
+
 def test_bh_small_n(rng_key):
     # N small enough that the tree degenerates to near-field only.
     sys = random_system(rng_key, 16, dim=2, dtype=jnp.float64)
