@@ -45,6 +45,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DEFAULT_GRAVITY, GravityConfig
 from .brute_force import _DIST2_GUARD
@@ -328,8 +329,16 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      shard_axis: Optional[str] = None,
                      num_shards: int = 1,
                      return_stats: bool = False,
-                     multipole: str = "mono") -> jax.Array:
+                     multipole: str = "mono",
+                     group_ids: Optional[jax.Array] = None) -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
+
+    ``group_ids`` ([M] int32, incompatible with ``shard_axis``) restricts
+    the walk to those body groups and returns [M·group_size, D] rows in
+    group order instead of [N, D] — the escalation driver's subset
+    re-dispatch: only overflowed groups re-walk at raised capacities,
+    so one dense core no longer inflates every group's padded frontier
+    (with ``return_stats``, stats cover only the listed groups).
 
     Level-synchronous frontier-expansion traversal (the "vectorized,
     pointer-free frontier expansion" of the BASELINE.json north star),
@@ -378,6 +387,15 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
         near_cap = min(1024 if dim == 2 else 8192, 2 * n)
     W, NL = frontier_width, near_cap
     S = leaf_size
+    # Round the near-list capacity up to whole pass-2 chunks (the frontier
+    # gets the same treatment below): the last chunk is fetched with
+    # lax.dynamic_slice, whose out-of-bounds start CLAMPS — with a ragged
+    # final chunk it silently re-reads (and re-evaluates) the tail of the
+    # previous chunk, double-counting those near windows whenever the bag
+    # is full past the clamp point (bit with escalated cap 158 / chunk 128
+    # on a clustered core: forces came out ~1.9× too large).
+    nl_chunk = min(NL, max(1, 2048 // S))
+    NL = -(-NL // nl_chunk) * nl_chunk
     # Depth bound: key bits + index-tiebreak bits (duplicate keys).
     max_depth = tree.key_bits + max(1, math.ceil(math.log2(max(n, 2)))) + 2
 
@@ -566,8 +584,9 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
 
         # ---- Pass 2: dense near-field evaluation over contiguous windows.
         # near_ids is sort-compacted, so empty chunks are cond-skipped.
-        nl_chunk = min(NL, max(1, 2048 // S))
-        nchunks = -(-NL // nl_chunk)
+        # (nl_chunk divides NL exactly — rounded above — so every
+        # dynamic_slice start is in bounds and no entry is read twice.)
+        nchunks = NL // nl_chunk
         arangeS = jnp.arange(S, dtype=jnp.int32)
 
         def near_chunk(c, acc):
@@ -609,30 +628,40 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
         acc = jnp.where(overflow[:, None, None],
                         jnp.asarray(jnp.nan, acc.dtype), acc)
         if return_stats:
-            return acc, maxw, near_cnt
+            return acc, maxw, near_cnt, overflow
         return acc
 
     # Multi-chip: each shard walks a contiguous slice of groups against the
     # replicated tree; partial accelerations are psum-combined.
-    gp = -(-ngroups // num_shards)
-    ngroups_p = gp * num_shards
-    gpad = ngroups_p - ngroups
-
-    def padg(x):
-        if gpad == 0:
-            return x
-        return jnp.concatenate(
-            [x, jnp.zeros((gpad,) + x.shape[1:], x.dtype)])
-
-    gpos, gcenter, gradius = padg(gpos), padg(gcenter), padg(gradius)
-    if shard_axis is not None:
-        start = jax.lax.axis_index(shard_axis).astype(jnp.int32) * gp
-        gpos = jax.lax.dynamic_slice_in_dim(gpos, start, gp)
-        gcenter = jax.lax.dynamic_slice_in_dim(gcenter, start, gp)
-        gradius = jax.lax.dynamic_slice_in_dim(gradius, start, gp)
-        my_groups = gp
+    if group_ids is not None:
+        if shard_axis is not None:
+            raise ValueError("group_ids is a single-chip escalation path "
+                             "and cannot be combined with shard_axis")
+        gids = jnp.clip(group_ids.astype(jnp.int32), 0, ngroups - 1)
+        gpos = gpos[gids]
+        gcenter = gcenter[gids]
+        gradius = gradius[gids]
+        my_groups = gids.shape[0]
     else:
-        my_groups = ngroups_p
+        gp = -(-ngroups // num_shards)
+        ngroups_p = gp * num_shards
+        gpad = ngroups_p - ngroups
+
+        def padg(x):
+            if gpad == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((gpad,) + x.shape[1:], x.dtype)])
+
+        gpos, gcenter, gradius = padg(gpos), padg(gcenter), padg(gradius)
+        if shard_axis is not None:
+            start = jax.lax.axis_index(shard_axis).astype(jnp.int32) * gp
+            gpos = jax.lax.dynamic_slice_in_dim(gpos, start, gp)
+            gcenter = jax.lax.dynamic_slice_in_dim(gcenter, start, gp)
+            gradius = jax.lax.dynamic_slice_in_dim(gradius, start, gp)
+            my_groups = gp
+        else:
+            my_groups = ngroups_p
 
     batch = min(batch, my_groups)
     nb = -(-my_groups // batch)
@@ -649,11 +678,18 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     grad_b = pad0(gradius).reshape(nb, batch)
     out = jax.lax.map(one_batch, (gpos_b, gcen_b, grad_b))
     if return_stats:
-        acc, maxw, ncnt = out
-        stats = (jnp.max(maxw), jnp.max(ncnt))
+        acc, maxw, ncnt, g_over = out
+        # Padding groups (zero-position) never overflow, but keep the
+        # stats honest by masking them out of the scalars anyway.
+        valid_g = jnp.arange(nb * batch) < my_groups
+        stats = (jnp.max(jnp.where(valid_g, maxw.reshape(-1), 0)),
+                 jnp.max(jnp.where(valid_g, ncnt.reshape(-1), 0)),
+                 (g_over.reshape(-1) & valid_g)[:my_groups])
     else:
         acc = out
     acc = acc.reshape(-1, dim)[:my_groups * G]
+    if group_ids is not None:
+        return (acc, *stats) if return_stats else acc
     if shard_axis is None:
         res = acc[:n]
         return (res, *stats) if return_stats else res
@@ -674,14 +710,16 @@ def _bvh_fused(positions, masses, g, *, key_bits, quad, leaf_size, theta,
     """Build + traversal + unsort + G-scale as ONE device program, with
     the overflow stats riding the same dispatch (same relay-latency
     rationale as grid_tree._bh_grid_fused — every eager glue op is a
-    ~30 ms round trip through the axon tunnel)."""
+    ~30 ms round trip through the axon tunnel). Also returns the
+    per-group overflow bitmap and the sort order so the escalation
+    driver can re-dispatch ONLY the overflowed groups."""
     tree = build_bvh(positions, masses, key_bits, quad=quad)
-    acc_sorted, maxw, ncnt = bvh_accel_sorted(
+    acc_sorted, maxw, ncnt, g_over = bvh_accel_sorted(
         tree, leaf_size=leaf_size, theta=theta, softening=softening,
         group_size=group_size, batch=batch, frontier_width=frontier_width,
         near_cap=near_cap, return_stats=True, multipole=multipole)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
-    return (g * masses)[:, None] * acc, maxw, ncnt
+    return (g * masses)[:, None] * acc, maxw, ncnt, g_over, tree.order
 
 
 def bvh_forces(
@@ -711,10 +749,12 @@ def bvh_forces(
     default to sizes measured on uniform inputs; strongly clustered inputs
     (e.g. a Plummer core) can exceed them, which poisons the affected
     groups with NaN rather than silently truncating. This driver watches
-    the traversal's true high-water counts and re-runs with doubled
-    capacities (up to ``max_escalations`` recompiles, capacities bounded by
-    2N) until the walk fits — so clustered distributions are handled
-    automatically at the cost of an extra compile, never answered wrong.
+    the traversal's true high-water counts and re-dispatches ONLY the
+    overflowed groups with doubled capacities (up to ``max_escalations``
+    recompiles, capacities bounded by 2N, subset padded to a power of two
+    so recompiles stay log-bounded) until the walk fits — so clustered
+    distributions are handled automatically, never answered wrong, and a
+    dense core no longer inflates every other group's padded tensors.
     The escalation needs concrete stats, so call this un-jitted (each tier
     entry point already is); under ``jit``, pass ``frontier_width`` /
     ``near_cap`` explicitly and treat NaN output as the overflow signal.
@@ -727,28 +767,67 @@ def bvh_forces(
         group_size = 128 if dim == 2 else 256
     key_bits = dim * MAX_BITS[dim]
     g = jnp.asarray(config.G, positions.dtype)
+    G = min(group_size, max(1, n))
     w = frontier_width if frontier_width is not None \
         else min(1024 if dim == 2 else 8192, 2 * n)
     nl = near_cap if near_cap is not None \
         else min(1024 if dim == 2 else 8192, 2 * n)
-    for attempt in range(max_escalations + 1):
-        forces, maxw, ncnt = _bvh_fused(
-            positions, masses, g, key_bits=key_bits,
-            quad=(multipole == "quad"), leaf_size=leaf_size,
-            theta=float(theta), softening=float(config.softening),
-            group_size=min(group_size, max(1, n)), batch=batch,
-            frontier_width=w, near_cap=nl, multipole=multipole)
-        wc = min(w, 256)
-        w_eff = -(-w // wc) * wc  # the kernel's chunk-rounded capacity
-        need_w, need_nl = int(maxw), int(ncnt)
-        fits = need_w <= w_eff and need_nl <= nl
-        if fits or attempt == max_escalations or (w_eff >= 2 * n
-                                                  and nl >= 2 * n):
-            break
+
+    def chunked(width):
+        wc = min(width, 256)
+        return -(-width // wc) * wc  # the kernel's chunk-rounded capacity
+
+    def nl_chunked(cap):
+        c = min(cap, max(1, 2048 // leaf_size))
+        return -(-cap // c) * c  # kernel near-cap, rounded to pass-2 chunks
+
+    forces, maxw, ncnt, g_over, order = _bvh_fused(
+        positions, masses, g, key_bits=key_bits,
+        quad=(multipole == "quad"), leaf_size=leaf_size,
+        theta=float(theta), softening=float(config.softening),
+        group_size=G, batch=batch,
+        frontier_width=w, near_cap=nl, multipole=multipole)
+    need_w, need_nl = int(maxw), int(ncnt)
+    if (need_w <= chunked(w) and need_nl <= nl_chunked(nl)) \
+            or max_escalations == 0:
+        return forces
+
+    # Subset re-dispatch: only the overflowed (NaN-poisoned) groups
+    # re-walk at raised capacities. Before this, escalation re-ran EVERY
+    # group at the raised caps, so one dense core (e.g. a Plummer center)
+    # inflated every group's padded frontier/near tensors — the dominant
+    # cost of the clustered 1M-body step. The subset is padded to the
+    # next power of two so recompiles stay log-bounded; pad entries
+    # duplicate a real group (identical rows, last-write-wins merge).
+    ids = np.nonzero(np.asarray(g_over))[0]
+    if ids.size == 0:  # stats exceeded caps without flagged groups —
+        return forces  # nothing poisoned, the result is complete.
+    M = 1 << max(0, int(ids.size - 1).bit_length())
+    ids_p = np.concatenate(
+        [ids, np.full(M - ids.size, ids[0], ids.dtype)])
+    tree = build_bvh(positions, masses, key_bits,
+                     quad=(multipole == "quad"))
+    w2, nl2 = w, nl
+    for attempt in range(max_escalations):
         # Measured counts under overflow are lower bounds (a truncated
         # frontier expands less), so double past them.
-        if need_w > w_eff:
-            w = min(2 * n, max(2 * w_eff, 2 * need_w))
-        if need_nl > nl:
-            nl = min(2 * n, max(2 * nl, 2 * need_nl))
-    return forces
+        if need_w > chunked(w2):
+            w2 = min(2 * n, max(2 * chunked(w2), 2 * need_w))
+        if need_nl > nl_chunked(nl2):
+            nl2 = min(2 * n, max(2 * nl2, 2 * need_nl))
+        sub_acc, maxw2, ncnt2, _ = bvh_accel_sorted(
+            tree, leaf_size=leaf_size, theta=float(theta),
+            softening=float(config.softening), group_size=G, batch=batch,
+            frontier_width=w2, near_cap=nl2, return_stats=True,
+            multipole=multipole, group_ids=jnp.asarray(ids_p, jnp.int32))
+        need_w, need_nl = int(maxw2), int(ncnt2)
+        if (need_w <= chunked(w2) and need_nl <= nl_chunked(nl2)) \
+                or (chunked(w2) >= 2 * n and nl2 >= 2 * n):
+            break
+    rows = (ids_p[:, None] * G + np.arange(G)).reshape(-1)
+    valid = rows < n
+    rows_v = jnp.asarray(rows[valid])
+    orig = order[rows_v]  # sorted slot -> original body index
+    sub_rows = sub_acc[jnp.asarray(valid)]
+    sub_forces = (g * tree.mass_sorted[rows_v])[:, None] * sub_rows
+    return forces.at[orig].set(sub_forces)

@@ -7,7 +7,7 @@ import pytest
 
 from nbody_tpu import GravityConfig, random_system
 from nbody_tpu.ops.brute_force import brute_force_direct
-from nbody_tpu.ops.bvh import build_bvh, bvh_forces
+from nbody_tpu.ops.bvh import build_bvh, bvh_accel_sorted, bvh_forces
 from nbody_tpu.ops.keys import MAX_BITS
 from nbody_tpu.utils.accuracy import scale_normalized_error
 
@@ -161,6 +161,52 @@ def test_quad_beats_mono(rng_key, dim):
         errs[mp] = float(scale_normalized_error(got, want))
     assert errs["quad"] < 0.4 * errs["mono"], errs
     assert errs["quad"] < 5e-3
+
+
+def test_group_ids_subset_matches_full_walk(rng_key):
+    """bvh_accel_sorted(group_ids=[...]) must reproduce the full walk's
+    rows for those groups bit-for-bit at the same capacities (per-group
+    walks are independent — the escalation driver relies on this)."""
+    n, dim, G = 1024, 2, 64
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float64)
+    kb = dim * MAX_BITS[dim]
+    tree = build_bvh(sys.positions, sys.masses, kb, quad=True)
+    kwargs = dict(theta=0.25, softening=0.0, group_size=G, batch=8,
+                  frontier_width=512, near_cap=512, multipole="quad")
+    full = bvh_accel_sorted(tree, **kwargs)  # [N, D] sorted order
+    ids = jnp.asarray([1, 7, 12], jnp.int32)
+    sub, maxw, ncnt, over = bvh_accel_sorted(
+        tree, **kwargs, group_ids=ids, return_stats=True)
+    assert sub.shape == (3 * G, dim)
+    assert not bool(jnp.any(over))
+    rows = (np.asarray(ids)[:, None] * G + np.arange(G)).reshape(-1)
+    np.testing.assert_array_equal(np.asarray(sub),
+                                  np.asarray(full)[rows])
+
+
+def test_ragged_near_cap_no_double_count(rng_key):
+    """A near_cap that is not a multiple of the pass-2 chunk must not
+    re-evaluate the tail of the previous chunk (lax.dynamic_slice CLAMPS
+    an out-of-bounds start): with a bag fuller than the clamp point the
+    clamped re-read double-counted ~100 near windows, inflating clustered
+    forces ~1.9×. The kernel now rounds the cap up to whole chunks."""
+    n, dim = 512, 3
+    k1, k2 = jax.random.split(rng_key)
+    # Dense core ⇒ near bags fill well past NL - nl_chunk.
+    core = 1e-3 * jax.random.uniform(k1, (n - 64, dim), jnp.float64) + 0.5
+    halo = jax.random.uniform(k2, (64, dim), jnp.float64)
+    pos = jnp.concatenate([core, halo])
+    mass = jnp.ones((n,), jnp.float64)
+    kb = dim * MAX_BITS[dim]
+    tree = build_bvh(pos, mass, kb, quad=True)
+    kwargs = dict(theta=0.5, softening=1e-4, group_size=32, batch=64,
+                  frontier_width=1024, multipole="quad")
+    ragged = bvh_accel_sorted(tree, **kwargs, near_cap=130)
+    generous = bvh_accel_sorted(tree, **kwargs, near_cap=1024)
+    assert bool(jnp.all(jnp.isfinite(ragged))), \
+        "near_cap=130 (rounded up to whole chunks) should fit this input"
+    np.testing.assert_allclose(np.asarray(ragged), np.asarray(generous),
+                               rtol=1e-12)
 
 
 def test_duplicate_positions(rng_key):

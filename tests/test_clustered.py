@@ -80,3 +80,21 @@ def test_bvh_escalates_capacities_on_overflow(rng_key):
     assert bool(jnp.all(jnp.isfinite(got)))
     # θ=0.5 group-MAC accuracy on this adversarial core sits ~3e-2.
     assert float(scale_normalized_error(got, want)) < 5e-2
+
+
+def test_bvh_subset_escalation_matches_full_run(rng_key):
+    """The subset re-dispatch (only overflowed groups re-walk at raised
+    caps) must agree with a single generous-capacity run: per-group walks
+    are independent, so the re-walked groups are bit-compatible and the
+    untouched groups differ only by frontier chunking fp order."""
+    pos, mass = _clustered_system(rng_key, 2_000, frac=0.3)
+    cfg = GravityConfig(G=1.0, softening=1e-4)
+    generous = bvh_forces(pos, mass, cfg, theta=0.5, group_size=32,
+                          frontier_width=4000, near_cap=4000,
+                          max_escalations=0)
+    assert bool(jnp.all(jnp.isfinite(generous)))
+    escalated = bvh_forces(pos, mass, cfg, theta=0.5, group_size=32,
+                           frontier_width=48, near_cap=48,
+                           max_escalations=8)
+    assert bool(jnp.all(jnp.isfinite(escalated)))
+    assert float(scale_normalized_error(escalated, generous)) < 1e-12
