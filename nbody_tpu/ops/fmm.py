@@ -45,6 +45,7 @@ import numpy as np
 
 from ..config import DEFAULT_GRAVITY, GravityConfig
 from .grid_tree import (
+    CLUSTERED_CAPACITY_LIMIT,
     GridTree,
     _near_field_accel,
     _neighbor_offsets,
@@ -162,14 +163,19 @@ def _v_list_deltas(dim: int, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("order", "ring", "softening", "leaf_batch",
-                     "shard_axis", "num_shards", "p2p_impl", "_debug_skip"))
+                     "shard_axis", "num_shards", "p2p_impl", "_debug_skip",
+                     "num_chunks", "chunk_size", "window", "max_windows"))
 def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
                      softening: float = 0.0,
                      leaf_batch: int = 1024,
                      shard_axis: Optional[str] = None,
                      num_shards: int = 1,
                      p2p_impl: str = "jnp",
-                     _debug_skip: str = "") -> jax.Array:
+                     _debug_skip: str = "",
+                     num_chunks: Optional[int] = None,
+                     chunk_size: int = 64,
+                     window: int = 8,
+                     max_windows: int = 0) -> jax.Array:
     """FMM accelerations for all sorted bodies (un-G-scaled): [N, D].
 
     Multi-chip (``shard_axis`` set, called under ``shard_map``): P2M and the
@@ -178,7 +184,18 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
     ``all_gather``-ed back to replicated level arrays (they're small), and
     the per-chip partial forces are ``psum``-reduced. The up/down sweeps are
     cheap and run replicated.
+
+    ``num_chunks`` switches P2M and P2P to the sparse (clustered-input)
+    layout of ops/sparse_grid.py: targets are cell-aligned body chunks and
+    P2P sources are fixed windows over the ring runs, so no tensor scales
+    with the max leaf occupancy. M2M/M2L/L2L are cell-space (already
+    capacity-free) and L2P is per-body; they run unchanged. Single-chip
+    only (the LET path distributes clustered inputs).
     """
+    sparse = num_chunks is not None
+    if sparse and shard_axis is not None:
+        raise ValueError("the sparse FMM layout is single-chip; use "
+                         "parallel/let_tree for distribution")
     dim, L, C = tree.dim, tree.leaf_level, tree.capacity
     n_cheb = order
     nD = n_cheb ** dim
@@ -199,6 +216,40 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
     leaf_xy = cell_coords(leaf_ids_all.astype(jnp.uint32), dim)\
         .astype(dtype)
     leaf_centers = tree.lo + (leaf_xy + 0.5) * leaf_size_phys  # [M, D]
+
+    if sparse:
+        # Cell-aligned body chunks shared by P2M and P2P (grid_tree.
+        # chunk_table; num_chunks comes from the exact sparse_grid_stats
+        # probe). Padded to whole batches; pad rows have length 0.
+        from .grid_tree import chunk_table
+        cellA, cstartA, clenA, coffsA = chunk_table(
+            tree.cell_start, tree.cell_count, chunk=chunk_size,
+            num_chunks=num_chunks)
+        cb = min(leaf_batch, 128, num_chunks)
+        NBc = -(-num_chunks // cb)
+        padc = NBc * cb - num_chunks
+        if padc:
+            cellA = jnp.concatenate(
+                [cellA, jnp.zeros((padc,), cellA.dtype)])
+            cstartA = jnp.concatenate(
+                [cstartA, jnp.zeros((padc,), cstartA.dtype)])
+            clenA = jnp.concatenate(
+                [clenA, jnp.zeros((padc,), clenA.dtype)])
+        btab = tree.body_pack.reshape(-1, 4)
+        arangeC = jnp.arange(chunk_size, dtype=jnp.int32)
+        cen_chunk = tree.lo + (
+            cell_coords(cellA.astype(jnp.uint32), dim).astype(dtype)
+            + 0.5) * leaf_size_phys  # [NTp, D]
+        cellA_b = cellA.reshape(NBc, cb)
+        cstartA_b = cstartA.reshape(NBc, cb)
+        clenA_b = clenA.reshape(NBc, cb)
+        cenA_b = cen_chunk.reshape(NBc, cb, dim)
+
+        def chunk_rows(cstart_b, clen_b):
+            idx = cstart_b[:, None] + arangeC  # [B, c]
+            rows = btab[jnp.clip(idx, 0, btab.shape[0] - 1)]
+            valid = arangeC[None, :] < clen_b[:, None]
+            return rows, valid
 
     # ---- P2M: anterpolate body masses to leaf Chebyshev nodes ----------
     # This shard's contiguous leaf chunk (whole range when unsharded).
@@ -234,7 +285,32 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
 
     ids_b = leaf_ids_all.reshape(nb, leaf_batch_e)
     cen_b = leaf_centers.reshape(nb, leaf_batch_e, dim)
-    W_leaf = jax.lax.map(p2m_batch, (ids_b, cen_b)).reshape(my_leaves, nD)
+    if sparse:
+        # Chunked P2M: per-chunk partial node weights scatter-added into
+        # the leaf table — [B, chunk, nD] intermediates instead of the
+        # capacity-padded [B, TWR, nD].
+        def p2m_chunk(args):
+            cstart_b, clen_b, cen_cb = args
+            rows, valid = chunk_rows(cstart_b, clen_b)
+            pos = rows[..., :dim]
+            mass = rows[..., 3] * valid
+            y = (pos - cen_cb[:, None, :]) / half_leaf
+            y = jnp.where(valid[..., None], y, 0.0)
+            basis = None
+            for d in range(dim):
+                s_d = _interp_1d(n_cheb, y[..., d], Tt)
+                basis = s_d if basis is None else (
+                    basis[..., :, None] * s_d[..., None, :]).reshape(
+                        s_d.shape[:-1] + (-1,))
+            return jnp.einsum("bc,bcm->bm", mass, basis,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        parts = jax.lax.map(
+            p2m_chunk, (cstartA_b, clenA_b, cenA_b)).reshape(-1, nD)
+        W_leaf = jnp.zeros((num_leaves, nD), dtype).at[cellA].add(parts)
+    else:
+        W_leaf = jax.lax.map(
+            p2m_batch, (ids_b, cen_b)).reshape(my_leaves, nD)
     if shard_axis is not None:
         W_leaf = jax.lax.all_gather(W_leaf, shard_axis, tiled=True)
 
@@ -383,6 +459,31 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
         acc_far_sorted = acc_far_sorted * in_chunk[:, None]
 
     # ---- P2P near field ------------------------------------------------
+    if sparse:
+        # Windowed ring P2P over the body chunks (sparse_grid pattern).
+        from .sparse_grid import near_field_windows
+
+        def p2p_chunk(args):
+            cell_b, cstart_b, clen_b = args
+            rows, _ = chunk_rows(cstart_b, clen_b)
+            tpos = rows[..., :dim]  # garbage rows masked at the gather
+            return near_field_windows(
+                tree, cell_b, tpos, k=k, window=window,
+                max_windows=max_windows, softening=softening)
+
+        if "p2p" in _debug_skip:
+            acc_near_sorted = jnp.zeros((tree.n, dim), dtype)
+        else:
+            accs = jax.lax.map(p2p_chunk, (cellA_b, cstartA_b, clenA_b))
+            acc_flat = accs.reshape(-1, dim)  # [NTp·chunk, D]
+            leaf = tree.leaf_ids
+            within = (jnp.arange(tree.n, dtype=jnp.int32)
+                      - tree.cell_start[leaf])
+            chunk_of = coffsA[leaf] + within // chunk_size
+            slot = within % chunk_size
+            acc_near_sorted = acc_flat[chunk_of * chunk_size + slot]
+        return acc_far_sorted + acc_near_sorted
+
     near_offs = jnp.asarray(_neighbor_offsets(dim, k))
     nnear = near_offs.shape[0]
     side_leaf = 1 << L
@@ -434,16 +535,21 @@ def fmm_accel_sorted(tree: GridTree, order: int = 5, ring: int = 1,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_level", "capacity", "order", "ring",
-                     "softening", "leaf_batch", "p2p_impl"))
+                     "softening", "leaf_batch", "p2p_impl", "num_chunks",
+                     "chunk_size", "window", "max_windows"))
 def _fmm_fused(positions, masses, g, *, leaf_level, capacity, order, ring,
-               softening, leaf_batch, p2p_impl):
+               softening, leaf_batch, p2p_impl, num_chunks=None,
+               chunk_size=64, window=8, max_windows=0):
     """Build + 6-phase pipeline + unsort + G-scale as ONE device program
     (same relay-latency rationale as grid_tree._bh_grid_fused: each eager
     glue op is a ~30 ms round trip through the axon tunnel)."""
-    tree = build_grid_tree(positions, masses, leaf_level, capacity)
+    tree = build_grid_tree(positions, masses, leaf_level, capacity,
+                           agg_num_chunks=num_chunks,
+                           agg_chunk_size=chunk_size)
     acc_sorted = fmm_accel_sorted(
         tree, order=order, ring=ring, softening=softening,
-        leaf_batch=leaf_batch, p2p_impl=p2p_impl)
+        leaf_batch=leaf_batch, p2p_impl=p2p_impl, num_chunks=num_chunks,
+        chunk_size=chunk_size, window=window, max_windows=max_windows)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc
 
@@ -458,9 +564,16 @@ def fmm_forces(
     ring: int = 1,
     leaf_batch: int = 1024,
     p2p_impl: str = "auto",
+    layout: str = "auto",
 ) -> jax.Array:
     """Per-body forces via black-box FMM. API parity: fmm_*_n_body
     (methods.h:66-82) with order as a static shape parameter (fixes §8.3).
+
+    ``layout``: "dense" is the capacity-padded P2M/P2P (fastest on
+    quasi-uniform inputs; refuses degenerate capacities); "sparse" chunks
+    targets and windows ring sources (ops/sparse_grid.py pattern) so no
+    tensor scales with the max leaf occupancy; "auto" (default) picks
+    dense and falls back to sparse when the capacity guard would trip.
     """
     n, dim = positions.shape
     if dim == 3 and n >= 5_000_000:
@@ -471,11 +584,27 @@ def fmm_forces(
         leaf_batch = min(leaf_batch, 256)
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim)
-    if capacity is None:
-        capacity = compute_capacity_cached(positions, leaf_level)
-        check_grid_capacity(capacity, n, leaf_level, dim, "fmm_forces")
-    p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     g = jnp.asarray(config.G, positions.dtype)
+    sparse = layout == "sparse"
+    if capacity is None and not sparse:
+        capacity = compute_capacity_cached(positions, leaf_level)
+        if layout == "auto" and capacity > CLUSTERED_CAPACITY_LIMIT:
+            sparse = True
+        else:
+            check_grid_capacity(capacity, n, leaf_level, dim,
+                                "fmm_forces")
+    if sparse:
+        from .sparse_grid import sparse_grid_stats
+        chunk_size, window = 64, 8
+        num_chunks, max_windows = sparse_grid_stats(
+            positions, leaf_level, chunk_size, window, ring)
+        return _fmm_fused(
+            positions, masses, g, leaf_level=leaf_level, capacity=8,
+            order=order, ring=ring, softening=float(config.softening),
+            leaf_batch=leaf_batch, p2p_impl="jnp",
+            num_chunks=num_chunks, chunk_size=chunk_size, window=window,
+            max_windows=max_windows)
+    p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     return _fmm_fused(
         positions, masses, g, leaf_level=leaf_level, capacity=capacity,
         order=order, ring=ring, softening=float(config.softening),

@@ -308,16 +308,87 @@ def reduce_levels(m_l, mx_l, S_l, *, dim, L, dtype):
     return level_mass, level_com, level_pack, level_quad
 
 
+def chunk_table(starts, counts, *, chunk: int, num_chunks: int):
+    """Cell-aligned fixed-size chunks of the sorted body runs.
+
+    Bodies are Morton-sorted, so every cell is one contiguous run; each run
+    is split into ⌈count/chunk⌉ chunks of ≤ ``chunk`` bodies that never
+    straddle a cell boundary (all bodies of a chunk share one cell, hence
+    one near ring and one ancestor chain). ``num_chunks`` is the static row
+    budget (Σ ⌈count_i/chunk⌉, measured by :func:`sparse_grid_stats`); rows
+    past the true total have length 0.
+
+    Returns (cell [NT], cstart [NT], clen [NT], coffs [ncells+1]) with
+    ``coffs`` the exclusive prefix sum of per-cell chunk counts (chunk rows
+    of cell c are coffs[c] .. coffs[c+1]).
+    """
+    ncells = counts.shape[0]
+    nchunk = -(-counts // chunk)
+    coffs = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.cumsum(nchunk, dtype=jnp.int32)])
+    r = jnp.arange(num_chunks, dtype=jnp.int32)
+    cell = jnp.clip(
+        jnp.searchsorted(coffs, r, side="right").astype(jnp.int32) - 1,
+        0, ncells - 1)
+    within = r - coffs[cell]
+    cstart = starts[cell] + within * chunk
+    clen = jnp.clip(counts[cell] - within * chunk, 0, chunk)
+    clen = jnp.where(r < coffs[-1], clen, 0)
+    return cell, cstart, clen, coffs
+
+
+def _leaf_chunk_sums(body_rows, starts, counts, *, num_chunks, chunk,
+                     ncells, dim, quad):
+    """Capacity-free leaf aggregates: masked per-chunk partial sums
+    scatter-added into the dense cell arrays.
+
+    O(N + NT) memory regardless of clustering — the windowed path
+    (:func:`leaf_window_sums`) materializes [ncells, capacity]-shaped
+    tensors, which degenerate when one dense cell holds ~N bodies.
+    Same math as the windowed path (quad moments centered at the leaf
+    COM), different partitioning of the sums.
+    """
+    cell, cstart, clen, _ = chunk_table(
+        starts, counts, chunk=chunk, num_chunks=num_chunks)
+    idx = cstart[:, None] + jnp.arange(chunk, dtype=jnp.int32)
+    valid = jnp.arange(chunk, dtype=jnp.int32) < clen[:, None]
+    rows = body_rows[jnp.clip(idx, 0, body_rows.shape[0] - 1)]  # [NT, c, 4]
+    w = rows[..., 3] * valid
+    m = jnp.zeros((ncells,), body_rows.dtype).at[cell].add(jnp.sum(w, 1))
+    mx = jnp.zeros((ncells, dim), body_rows.dtype).at[cell].add(
+        jnp.sum(w[..., None] * rows[..., :dim], axis=1))
+    S = None
+    if quad:
+        com = mx / jnp.maximum(m, 1e-30)[:, None]
+        d = rows[..., :dim] - com[cell][:, None, :]
+        S = jnp.zeros((ncells, len(_quad_pairs(dim))), body_rows.dtype)\
+            .at[cell].add(jnp.stack(
+                [jnp.sum(w * d[..., a] * d[..., b], axis=1)
+                 for a, b in _quad_pairs(dim)], axis=-1))
+    return m, mx, S
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("leaf_level", "capacity", "quad"))
+                   static_argnames=("leaf_level", "capacity", "quad",
+                                    "agg_num_chunks", "agg_chunk_size"))
 def build_grid_tree(positions: jax.Array, masses: jax.Array,
                     leaf_level: int, capacity: int,
-                    quad: bool = False) -> GridTree:
+                    quad: bool = False,
+                    agg_num_chunks: Optional[int] = None,
+                    agg_chunk_size: int = 64) -> GridTree:
     """Level-synchronous device build (replaces octree.cpp:165-204 + insert).
 
     ``quad=True`` additionally builds per-level second moments for the
     quadrupole far field (Barnes-Hut accuracy tier); FMM and monopole BH
     skip the extra build passes.
+
+    ``agg_num_chunks`` switches the leaf aggregation from capacity-padded
+    windows to cell-aligned fixed-size chunks (:func:`_leaf_chunk_sums`) —
+    the sparse / clustered-input path, where the max leaf occupancy (and
+    hence ``capacity``) is unbounded. The stored ``capacity`` is then only
+    metadata for :func:`_window_rows` consumers, which the sparse
+    evaluation never calls.
     """
     n, dim = positions.shape
     L = leaf_level
@@ -360,9 +431,15 @@ def build_grid_tree(positions: jax.Array, masses: jax.Array,
     # global-cumsum alternative loses ~ε·Σm of absolute precision), then
     # coarser levels by exact 2^D-child tree reduction — Morton ids make
     # children of one parent contiguous.
-    m_leaf, mx_leaf, S_leaf = leaf_window_sums(
-        body_pack, starts, ends, capacity=capacity, ncells=num_leaf_cells,
-        dim=dim, quad=quad)
+    if agg_num_chunks is not None:
+        m_leaf, mx_leaf, S_leaf = _leaf_chunk_sums(
+            bt, starts, ends - starts, num_chunks=agg_num_chunks,
+            chunk=agg_chunk_size, ncells=num_leaf_cells, dim=dim,
+            quad=quad)
+    else:
+        m_leaf, mx_leaf, S_leaf = leaf_window_sums(
+            body_pack, starts, ends, capacity=capacity,
+            ncells=num_leaf_cells, dim=dim, quad=quad)
     level_mass, level_com, level_pack, level_quad = reduce_levels(
         m_leaf, mx_leaf, S_leaf, dim=dim, L=L, dtype=pos_s.dtype)
 
@@ -547,6 +624,53 @@ def _quad_cell_accel(targets, com, mass, S):
          for d in range(dim)], axis=-1)
 
 
+def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
+                    tpos: jax.Array, *, k: int, multipole: str,
+                    levels=None) -> jax.Array:
+    """Telescoping V-list far field for a batch of target groups.
+
+    Each target group b (a leaf cell's bodies in the dense path, a body
+    chunk in the sparse path) is keyed by its leaf cell ``leaf_ids_b[b]``;
+    at every level 2..L the group's ancestor interacts with its ≤
+    (2k+1)^D·2^D-candidate V-list (children of the parent's near ring that
+    are not the ancestor's own near ring) via monopole-at-COM or monopole +
+    quadrupole. Returns the far-field acceleration increment for ``tpos``
+    [B, T, D]. Shared by the dense per-leaf evaluation
+    (:func:`grid_tree_accel_sorted`) and the sparse per-chunk evaluation
+    (ops/sparse_grid.py).
+    """
+    dim, L = tree.dim, tree.leaf_level
+    B = leaf_ids_b.shape[0]
+    cand_offs, _ = _ring_offsets(dim, k)
+    cand_offs = jnp.asarray(cand_offs)
+    acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
+    for l in (range(2, L + 1) if levels is None else levels):
+        anc = (leaf_ids_b >> (dim * (L - l))).astype(jnp.uint32)
+        anc_xy = cell_coords(anc, dim).astype(jnp.int32)  # [B, D]
+        parent_xy = anc_xy >> 1
+        # Candidates are all children of the parent's near ring:
+        # cand = 2·(parent + parent_off) + child_off, precomputed as
+        # offsets relative to 2·parent.
+        cand_xy = parent_xy[:, None, :] * 2 + cand_offs[None, :, :]
+        delta = cand_xy - anc_xy[:, None, :]
+        cheb = jnp.max(jnp.abs(delta), axis=-1)  # [B, ncand]
+        in_bounds = jnp.all(
+            (cand_xy >= 0) & (cand_xy < (1 << l)), axis=-1)
+        is_far = (cheb > k) & in_bounds  # V-list membership
+        cand_ids = morton_key_from_coords(
+            jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
+            .reshape(-1, dim), l).astype(jnp.int32).reshape(B, -1)
+        cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
+        cmass = cpack[..., 3] * is_far
+        ccom = cpack[..., :dim]
+        if multipole == "quad":
+            cquad = tree.level_quad[l][cand_ids] * is_far[..., None]
+            acc = acc + _quad_cell_accel(tpos, ccom, cmass, cquad)
+        else:
+            acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
+    return acc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "softening", "leaf_batch", "shard_axis",
@@ -582,10 +706,7 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     num_leaves = tree.num_leaf_cells
     side_bits = L
 
-    cand_offs, _ = _ring_offsets(dim, k)  # [ncand, D]
-    near_offs = _neighbor_offsets(dim, k)  # [nnear, D]
-    cand_offs = jnp.asarray(cand_offs)
-    near_offs = jnp.asarray(near_offs)
+    near_offs = jnp.asarray(_neighbor_offsets(dim, k))  # [nnear, D]
 
     # Leaf chunk owned by this shard (whole range when unsharded). Shard
     # counts are powers of two, as is num_leaves, so chunks divide evenly.
@@ -628,32 +749,10 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         tpos = tb[..., :dim]
         acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
 
-        # --- Far field: V-list per level -------------------------------
-        far_levels = () if "far" in _debug_skip else range(2, L + 1)
-        for l in far_levels:
-            anc = (leaf_ids_b >> (dim * (L - l))).astype(jnp.uint32)
-            anc_xy = cell_coords(anc, dim).astype(jnp.int32)  # [B, D]
-            parent_xy = anc_xy >> 1
-            # Candidates are all children of the parent's near ring:
-            # cand = 2·(parent + parent_off) + child_off, precomputed as
-            # offsets relative to 2·parent.
-            cand_xy = parent_xy[:, None, :] * 2 + cand_offs[None, :, :]
-            delta = cand_xy - anc_xy[:, None, :]
-            cheb = jnp.max(jnp.abs(delta), axis=-1)  # [B, ncand]
-            in_bounds = jnp.all(
-                (cand_xy >= 0) & (cand_xy < (1 << l)), axis=-1)
-            is_far = (cheb > k) & in_bounds  # V-list membership
-            cand_ids = morton_key_from_coords(
-                jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
-                .reshape(-1, dim), l).astype(jnp.int32).reshape(B, -1)
-            cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
-            cmass = cpack[..., 3] * is_far
-            ccom = cpack[..., :dim]
-            if multipole == "quad":
-                cquad = tree.level_quad[l][cand_ids] * is_far[..., None]
-                acc = acc + _quad_cell_accel(tpos, ccom, cmass, cquad)
-            else:
-                acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
+        # --- Far field: V-list per level (shared helper) ---------------
+        if "far" not in _debug_skip:
+            acc = acc + far_field_rings(tree, leaf_ids_b, tpos, k=k,
+                                        multipole=multipole)
 
         # --- Near field: leaf P2P over the (2k+1)^D neighborhood -------
         if "near" not in _debug_skip:
@@ -734,6 +833,7 @@ def barnes_hut_grid(
     leaf_batch: int = 512,
     p2p_impl: str = "auto",
     multipole: str = "quad",
+    layout: str = "auto",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248).
 
@@ -741,6 +841,12 @@ def barnes_hut_grid(
     quadrupole — the standard accuracy upgrade over the reference's
     monopole-at-COM (octree.cpp:146-151), which remains available as
     ``multipole="mono"``.
+
+    ``layout``: "dense" is the capacity-padded per-leaf evaluation (fastest
+    on quasi-uniform inputs; refuses degenerate capacities); "sparse" is
+    the chunked O(N)-memory evaluation (ops/sparse_grid.py) for clustered
+    inputs; "auto" (default) picks dense and falls back to sparse when the
+    capacity guard would trip — so any mass distribution just works.
     """
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
@@ -761,8 +867,17 @@ def barnes_hut_grid(
             num_segments = 4
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim, k=k)
+    if layout == "sparse":
+        from .sparse_grid import barnes_hut_sparse
+        return barnes_hut_sparse(positions, masses, config, theta=theta,
+                                 leaf_level=leaf_level, multipole=multipole)
     if capacity is None:
         capacity = compute_capacity_cached(positions, leaf_level)
+        if layout == "auto" and capacity > CLUSTERED_CAPACITY_LIMIT:
+            from .sparse_grid import barnes_hut_sparse
+            return barnes_hut_sparse(positions, masses, config, theta=theta,
+                                     leaf_level=leaf_level,
+                                     multipole=multipole)
         check_grid_capacity(capacity, n, leaf_level, dim, "barnes_hut_grid")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     g = jnp.asarray(config.G, positions.dtype)

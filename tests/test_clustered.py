@@ -59,14 +59,20 @@ def _clustered_system(key, n: int, frac: float = 0.9, dim: int = 3):
 def test_grid_guard_refuses_degenerate_capacity(rng_key):
     """The uniform grid's capacity² near field would explode on a dense
     core (measured: Plummer N=1e5 3D ⇒ capacity 63752, a ~40 TB near
-    tensor). The driver must refuse with guidance, not OOM."""
+    tensor). The DENSE layout must refuse with guidance, not OOM;
+    layout="auto" (the default) instead falls back to the sparse chunked
+    path (ops/sparse_grid.py, tests/test_sparse_grid.py) and answers."""
     import pytest
     pos, mass = _clustered_system(rng_key, 10_000)
     cfg = GravityConfig(G=1.0, softening=1e-4)
     with pytest.raises(ValueError, match="bvh_forces"):
-        barnes_hut_grid(pos, mass, cfg, theta=0.5)
+        barnes_hut_grid(pos, mass, cfg, theta=0.5, layout="dense")
     with pytest.raises(ValueError, match="clustered"):
-        fmm_forces(pos, mass, cfg, order=4)
+        fmm_forces(pos, mass, cfg, order=4, layout="dense")
+    # The default answers via the sparse fallback.
+    want = brute_force_direct(pos, mass, cfg)
+    got = barnes_hut_grid(pos, mass, cfg, theta=0.5)
+    assert float(scale_normalized_error(got, want)) < 5e-2
 
 
 def test_bvh_escalates_capacities_on_overflow(rng_key):
