@@ -45,7 +45,6 @@ import numpy as np
 
 from ..config import DEFAULT_GRAVITY, GravityConfig
 from .grid_tree import (
-    CLUSTERED_CAPACITY_LIMIT,
     GridTree,
     _near_field_accel,
     _neighbor_offsets,
@@ -57,6 +56,7 @@ from .grid_tree import (
     check_grid_capacity,
     compute_capacity,
     compute_capacity_cached,
+    dense_layout_degenerate,
 )
 from .keys import morton_key_from_coords
 
@@ -588,7 +588,8 @@ def fmm_forces(
     sparse = layout == "sparse"
     if capacity is None and not sparse:
         capacity = compute_capacity_cached(positions, leaf_level)
-        if layout == "auto" and capacity > CLUSTERED_CAPACITY_LIMIT:
+        if layout == "auto" and dense_layout_degenerate(
+                capacity, n, leaf_level, dim):
             sparse = True
         else:
             check_grid_capacity(capacity, n, leaf_level, dim,

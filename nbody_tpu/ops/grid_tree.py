@@ -217,6 +217,24 @@ def compute_capacity_cached(positions, leaf_level: int) -> int:
 CLUSTERED_CAPACITY_LIMIT = 4096
 
 
+def dense_layout_degenerate(capacity: int, n: int, leaf_level: int,
+                            dim: int) -> bool:
+    """True when the capacity-padded dense layout should not be used.
+
+    Two triggers: the absolute capacity guard (a ~40 TB near tensor at
+    Plummer N=1e5 3D), and occupancy *skew* — max/mean leaf occupancy so
+    high that the padded near field does ≳256× the real pair work. The
+    skew trigger exists because the absolute limit alone missed a small-N
+    clustered input (N=4000 2D, 60% of bodies in one cell: capacity 2408
+    ≤ 4096 but mean occupancy 15.6 at leaf level 4 ⇒ a 595 GB dense near
+    tensor on the CPU backend). Uniform inputs have max/mean ≲ 5 at any
+    N, so the 16× threshold never fires on them.
+    """
+    mean_occ = n / float(1 << (dim * leaf_level))
+    return capacity > CLUSTERED_CAPACITY_LIMIT or (
+        capacity > 512 and capacity > 16 * mean_occ)
+
+
 def check_grid_capacity(capacity: int, n: int, leaf_level: int, dim: int,
                         what: str, limit: Optional[int] = None) -> None:
     """Refuse (loudly, with guidance) to run a degenerate uniform grid."""
@@ -873,7 +891,8 @@ def barnes_hut_grid(
                                  leaf_level=leaf_level, multipole=multipole)
     if capacity is None:
         capacity = compute_capacity_cached(positions, leaf_level)
-        if layout == "auto" and capacity > CLUSTERED_CAPACITY_LIMIT:
+        if layout == "auto" and dense_layout_degenerate(
+                capacity, n, leaf_level, dim):
             from .sparse_grid import barnes_hut_sparse
             return barnes_hut_sparse(positions, masses, config, theta=theta,
                                      leaf_level=leaf_level,

@@ -75,6 +75,30 @@ def test_grid_guard_refuses_degenerate_capacity(rng_key):
     assert float(scale_normalized_error(got, want)) < 5e-2
 
 
+def test_skewed_small_capacity_takes_sparse_fallback(rng_key):
+    """Skew trigger of ``dense_layout_degenerate``: a small-N clustered
+    input whose capacity clears the absolute 4096 guard (N=4000, 60% of
+    bodies in one cell ⇒ capacity ~2400) but whose max/mean occupancy is
+    ~150× at the θ=0.25 leaf level — the dense layout there is a ~595 GB
+    near tensor (OOM'd the CPU backend before the skew trigger existed).
+    layout="auto" must answer via the sparse path instead."""
+    from nbody_tpu.ops.grid_tree import dense_layout_degenerate
+
+    pos, mass = _clustered_system(rng_key, 4_000, frac=0.6, dim=2)
+    cfg = GravityConfig(G=1.0, softening=1e-4)
+    level = auto_leaf_level(4_000, 2, k=3)  # θ=0.25 ring
+    cap = compute_capacity(pos, level)
+    assert cap <= 4096  # below the absolute guard: only skew catches it
+    assert dense_layout_degenerate(cap, 4_000, level, 2)
+    want = brute_force_direct(pos, mass, cfg)
+    got = barnes_hut_grid(pos, mass, cfg, theta=0.25)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    assert float(scale_normalized_error(got, want)) < 1e-3
+    got_f = fmm_forces(pos, mass, cfg, order=5, leaf_level=level)
+    assert bool(jnp.all(jnp.isfinite(got_f)))
+    assert float(scale_normalized_error(got_f, want)) < 1e-3
+
+
 def test_bvh_escalates_capacities_on_overflow(rng_key):
     """Deliberately tiny traversal capacities must auto-escalate to a
     finite, accurate answer (never a silent truncation)."""

@@ -1,13 +1,18 @@
 """Clustered-distribution stress: Plummer N=1e5 3D on the live backend.
 
-The uniform grid tiers refuse this input (`check_grid_capacity`: the
-densest leaf cell holds ~64% of all bodies at the auto level — VERDICT
-round-1 weak item 6); the adaptive Hilbert-radix BVH is the clustered
-tier and must handle it in O(N) memory, auto-escalating its traversal
-capacities if the dense core overflows the uniform-input defaults.
+The uniform grid tiers' DENSE layout refuses this input
+(`check_grid_capacity`: the densest leaf cell holds ~64% of all bodies at
+the auto level — VERDICT round-1 weak item 6). Two paths must handle it
+in O(N) memory:
 
-Records wall time, a 512-body sampled f64 oracle error, and the grid
-guard's refusal, to ``artifacts/clustered_stress.json``.
+* the adaptive Hilbert-radix BVH (auto-escalating traversal capacities,
+  subset re-dispatch of overflowed groups), and
+* the sparse chunked grid layout (`ops/sparse_grid.py`), reached
+  automatically by ``barnes_hut_grid(layout="auto")`` — cell-aligned body
+  chunks + windowed ring sources, shapes from an exact probe.
+
+Records wall times and 512-body sampled f64 oracle errors for both, plus
+the dense guard's refusal, to ``artifacts/clustered_stress.json``.
 
 Run:  python tools/clustered_stress.py [--n 100000] [--theta 0.25]
 """
@@ -47,6 +52,19 @@ def sampled_oracle_error(positions, masses, forces, cfg, samples: int = 512):
     return float(jnp.max(num) / scale)
 
 
+def timed(fn):
+    """(forces, cached_seconds): run twice, materialize to time (the axon
+    relay makes block_until_ready a no-op)."""
+    def run():
+        out = fn()
+        float(jnp.sum(jnp.abs(out)))
+        return out
+    run()  # compile (+ any BVH escalation recompiles)
+    t0 = time.perf_counter()
+    out = run()
+    return out, time.perf_counter() - t0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -60,28 +78,26 @@ def main() -> int:
                               dtype=jnp.float32)
     n, dim = sys.positions.shape
 
-    # 1. The degenerate grid capacity and the guard's refusal.
+    # 1. The degenerate grid capacity and the DENSE layout's refusal.
     level = auto_leaf_level(n, dim)
     cap = compute_capacity(sys.positions, level)
     try:
-        nb.barnes_hut_grid(sys.positions, sys.masses, cfg, theta=args.theta)
+        nb.barnes_hut_grid(sys.positions, sys.masses, cfg,
+                           theta=args.theta, layout="dense")
         grid_refused = False
     except ValueError as e:
         grid_refused = "bvh_forces" in str(e)
 
-    # 2. The BVH tier on the same input (auto-escalating capacities).
-    def run():
-        out = bvh_forces(sys.positions, sys.masses, cfg, theta=args.theta)
-        # Materialize: block_until_ready is a no-op through the axon relay.
-        float(jnp.sum(jnp.abs(out)))
-        return out
+    # 2. The BVH tier (auto-escalating capacities, subset re-dispatch).
+    bvh_out, bvh_s = timed(lambda: bvh_forces(
+        sys.positions, sys.masses, cfg, theta=args.theta))
+    bvh_err = sampled_oracle_error(sys.positions, sys.masses, bvh_out, cfg)
 
-    forces = run()  # compile + any escalation recompiles
-    t0 = time.perf_counter()
-    forces = run()
-    elapsed = time.perf_counter() - t0
+    # 3. The sparse grid fallback through the public driver (layout=auto).
+    sp_out, sp_s = timed(lambda: nb.barnes_hut_grid(
+        sys.positions, sys.masses, cfg, theta=args.theta))
+    sp_err = sampled_oracle_error(sys.positions, sys.masses, sp_out, cfg)
 
-    err = sampled_oracle_error(sys.positions, sys.masses, forces, cfg)
     artifact = {
         "backend": jax.default_backend(),
         "n": n,
@@ -90,16 +106,20 @@ def main() -> int:
         "distribution": "plummer (Henon units, a=1)",
         "grid_auto_leaf_level": level,
         "grid_max_leaf_occupancy": int(cap),
-        "grid_guard_refused": bool(grid_refused),
-        "bvh_time_s": round(elapsed, 4),
-        "bvh_finite": bool(jnp.all(jnp.isfinite(forces))),
-        "bvh_sampled_norm_error_vs_f64": err,
+        "dense_grid_guard_refused": bool(grid_refused),
+        "bvh_time_s": round(bvh_s, 4),
+        "bvh_finite": bool(jnp.all(jnp.isfinite(bvh_out))),
+        "bvh_sampled_norm_error_vs_f64": bvh_err,
+        "sparse_grid_time_s": round(sp_s, 4),
+        "sparse_grid_finite": bool(jnp.all(jnp.isfinite(sp_out))),
+        "sparse_grid_sampled_norm_error_vs_f64": sp_err,
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps(artifact, indent=2))
-    assert grid_refused and artifact["bvh_finite"] and err < 5e-2
+    assert grid_refused and artifact["bvh_finite"] and bvh_err < 5e-2
+    assert artifact["sparse_grid_finite"] and sp_err < 5e-2
     return 0
 
 
