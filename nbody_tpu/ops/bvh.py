@@ -320,7 +320,8 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     jax.jit,
     static_argnames=("leaf_size", "theta", "softening", "group_size",
                      "batch", "frontier_width", "near_cap", "shard_axis",
-                     "num_shards", "return_stats", "multipole"))
+                     "num_shards", "return_stats", "multipole", "far_impl",
+                     "local_gate"))
 def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      softening: float = 0.0, group_size: int = 64,
                      batch: int = 128,
@@ -330,6 +331,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      num_shards: int = 1,
                      return_stats: bool = False,
                      multipole: str = "mono",
+                     far_impl: str = "point",
+                     local_gate: float = 8.0,
                      group_ids: Optional[jax.Array] = None) -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
 
@@ -367,6 +370,17 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     (the round-1 ``max_steps`` cap was): affected groups' accelerations
     are poisoned with NaN, which the NaN-strict accuracy oracle and any
     downstream consumer will see immediately.
+
+    ``far_impl="local"``: MAC-accepted nodes farther than ``local_gate``
+    group radii from the group center accumulate into an order-2 local
+    Taylor expansion at the group center (ops/local_expansion.py) instead
+    of being evaluated at every member body — the per-body×per-node
+    product is the dominant VPU term of the walk (cost drops from
+    G·|accepted| to |accepted| for the gated majority). Accepted nodes
+    *inside* the gate (small nearby nodes, where the Taylor ratio
+    |ρ|/d > 1/local_gate would bite) still evaluate per body. Truncation
+    error of the gated set is O(local_gate⁻³) ≈ 2e-3 relative at the
+    default gate of 8 — below the θ=0.25 MAC budget.
     """
     n = tree.n
     dim = tree.pos_sorted.shape[-1]
@@ -420,6 +434,10 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     W = -(-W // Wc) * Wc  # round capacity up to whole chunks
     nWc = W // Wc
     table = tree.node_table
+    use_local = far_impl == "local"
+    if use_local:
+        from .local_expansion import eval_local, local_coeffs, num_coeffs
+        _, njc, nhc = num_coeffs(dim)
 
     def one_batch(args):
         pos_g, center_g, radius_g = args  # [B, G, D], [B, D], [B]
@@ -432,7 +450,10 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
             return (it < max_depth) & jnp.any(f[:, 0] != _INVALID)
 
         def proc_chunk(c, carry):
-            f, acc, kids_buf, leaf_buf = carry
+            if use_local:
+                f, acc, kids_buf, leaf_buf, la0, lJ, lH = carry
+            else:
+                f, acc, kids_buf, leaf_buf = carry
             fch = jax.lax.dynamic_slice_in_dim(f, c * Wc, Wc, axis=1)
 
             def do(_):
@@ -459,6 +480,16 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 near_take = leafish & ~mac_ok
                 expand = valid & ~leafish & ~mac_ok
 
+                if use_local:
+                    # Far-enough accepted nodes go to the group-center
+                    # local expansion; only accepted nodes within the
+                    # gate are evaluated per body.
+                    far_loc = mac_ok & (
+                        cdist > local_gate * radius_g[:, None])
+                    mac_inline = mac_ok & ~far_loc
+                else:
+                    mac_inline = mac_ok
+
                 # Far field, inline at each member's position: monopole,
                 # or monopole + quadrupole in the normalized form of
                 # grid_tree._quad_cell_accel (r⁻⁵/r⁻⁷ powers leave fp32
@@ -470,7 +501,7 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                     fdiffs.append(fd)  # [B, G, Wc]
                     fd2 = fd * fd if fd2 is None else fd2 + fd * fd
                 finv = jax.lax.rsqrt(fd2 + soft2)
-                mask = mac_ok[:, None, :]
+                mask = mac_inline[:, None, :]
                 if multipole == "quad":
                     Sq = nt[..., 6 + dim:6 + dim + len(qpairs)]
                     # Coincident guard (same as _quad_cell_accel): a leaf
@@ -520,19 +551,33 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 leaf_c = jnp.where(near_take, fch, _INVALID)
                 leaf2 = jax.lax.dynamic_update_slice(
                     leaf_buf, leaf_c, (0, c * Wc))
+                if use_local:
+                    lmass = nmass * far_loc
+                    Sl = (nt[..., 6 + dim:6 + dim + len(qpairs)]
+                          * far_loc[..., None]
+                          if multipole == "quad" else None)
+                    da0, dJ, dH = local_coeffs(center_g, com, lmass, Sl)
+                    return (acc2, kids2, leaf2,
+                            la0 + da0, lJ + dJ, lH + dH)
                 return acc2, kids2, leaf2
 
             def skip(_):
+                if use_local:
+                    return acc, kids_buf, leaf_buf, la0, lJ, lH
                 return acc, kids_buf, leaf_buf
 
             # Compacted frontier ⇒ chunk empty iff its first column is
             # (scalar cond: real runtime branch, gathers skipped).
-            acc2, kids2, leaf2 = jax.lax.cond(
+            out = jax.lax.cond(
                 jnp.any(fch[:, 0] != _INVALID), do, skip, None)
-            return f, acc2, kids2, leaf2
+            return (f,) + tuple(out)
 
         def step(state):
-            it, f, acc, near_ids, near_cnt, overflow, maxw = state
+            if use_local:
+                (it, f, acc, near_ids, near_cnt, overflow, maxw,
+                 la0, lJ, lH) = state
+            else:
+                it, f, acc, near_ids, near_cnt, overflow, maxw = state
             kids_buf = jnp.full((B, 2 * W), _INVALID, jnp.int32)
             leaf_buf = jnp.full((B, W), _INVALID, jnp.int32)
             if shard_axis is not None:
@@ -540,8 +585,14 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 # branch; the skip branch must carry the same varying type.
                 kids_buf = jax.lax.pcast(kids_buf, shard_axis, to="varying")
                 leaf_buf = jax.lax.pcast(leaf_buf, shard_axis, to="varying")
-            _, acc, kids_buf, leaf_buf = jax.lax.fori_loop(
-                0, nWc, proc_chunk, (f, acc, kids_buf, leaf_buf))
+            if use_local:
+                (_, acc, kids_buf, leaf_buf, la0, lJ, lH) = \
+                    jax.lax.fori_loop(
+                        0, nWc, proc_chunk,
+                        (f, acc, kids_buf, leaf_buf, la0, lJ, lH))
+            else:
+                _, acc, kids_buf, leaf_buf = jax.lax.fori_loop(
+                    0, nWc, proc_chunk, (f, acc, kids_buf, leaf_buf))
 
             # Sort-based compaction (scatters measured ~5× slower than
             # sorts on this part): _INVALID = int32 max sorts to the end.
@@ -558,7 +609,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 leaf_buf != _INVALID, axis=1, dtype=jnp.int32)
             overflow = overflow | (near_cnt > NL)
 
-            return it + 1, newf, acc, near_ids, near_cnt, overflow, maxw
+            out = (it + 1, newf, acc, near_ids, near_cnt, overflow, maxw)
+            return out + (la0, lJ, lH) if use_local else out
 
         f0 = jnp.broadcast_to(
             jnp.where(jnp.arange(W) == 0, root, _INVALID).astype(jnp.int32),
@@ -575,8 +627,19 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
             f0, near0, cnt0, of0, maxw0, it0 = (
                 jax.lax.pcast(x, shard_axis, to="varying")
                 for x in (f0, near0, cnt0, of0, maxw0, it0))
-        _, fend, acc, near_ids, near_cnt, overflow, maxw = jax.lax.while_loop(
-            cond, step, (it0, f0, acc0, near0, cnt0, of0, maxw0))
+        state0 = (it0, f0, acc0, near0, cnt0, of0, maxw0)
+        if use_local:
+            # Coeff carries derive from center_g (shard-varying already).
+            la0_0 = jnp.zeros((B, dim), dtype) + 0.0 * center_g
+            lJ0 = jnp.zeros((B, njc), dtype) + 0.0 * center_g[:, :1]
+            lH0 = jnp.zeros((B, nhc), dtype) + 0.0 * center_g[:, :1]
+            state0 = state0 + (la0_0, lJ0, lH0)
+        fin = jax.lax.while_loop(cond, step, state0)
+        _, fend, acc, near_ids, near_cnt, overflow, maxw = fin[:7]
+        if use_local:
+            la0, lJ, lH = fin[7:]
+            acc = acc + eval_local(pos_g - center_g[:, None, :],
+                                   la0, lJ, lH)
         # The max_depth bound is believed tight (root-to-leaf node path ≤
         # key_bits + log2(n) splits), but if a walk ever exceeds it the
         # leftover frontier must poison, not silently drop its subtrees.
@@ -703,10 +766,10 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     jax.jit,
     static_argnames=("key_bits", "quad", "leaf_size", "theta", "softening",
                      "group_size", "batch", "frontier_width", "near_cap",
-                     "multipole"))
+                     "multipole", "far_impl", "local_gate"))
 def _bvh_fused(positions, masses, g, *, key_bits, quad, leaf_size, theta,
                softening, group_size, batch, frontier_width, near_cap,
-               multipole):
+               multipole, far_impl="point", local_gate=8.0):
     """Build + traversal + unsort + G-scale as ONE device program, with
     the overflow stats riding the same dispatch (same relay-latency
     rationale as grid_tree._bh_grid_fused — every eager glue op is a
@@ -717,7 +780,8 @@ def _bvh_fused(positions, masses, g, *, key_bits, quad, leaf_size, theta,
     acc_sorted, maxw, ncnt, g_over = bvh_accel_sorted(
         tree, leaf_size=leaf_size, theta=theta, softening=softening,
         group_size=group_size, batch=batch, frontier_width=frontier_width,
-        near_cap=near_cap, return_stats=True, multipole=multipole)
+        near_cap=near_cap, return_stats=True, multipole=multipole,
+        far_impl=far_impl, local_gate=local_gate)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc, maxw, ncnt, g_over, tree.order
 
@@ -734,6 +798,8 @@ def bvh_forces(
     near_cap: Optional[int] = None,
     max_escalations: int = 3,
     multipole: str = "quad",
+    far_impl: str = "point",
+    local_gate: float = 8.0,
 ) -> jax.Array:
     """Per-body forces via the Hilbert radix BVH (parity: bvh_*_n_body,
     methods.cpp:377-423, with max_bodies_per_leaf=16 default methods.h:57).
@@ -786,7 +852,8 @@ def bvh_forces(
         quad=(multipole == "quad"), leaf_size=leaf_size,
         theta=float(theta), softening=float(config.softening),
         group_size=G, batch=batch,
-        frontier_width=w, near_cap=nl, multipole=multipole)
+        frontier_width=w, near_cap=nl, multipole=multipole,
+        far_impl=far_impl, local_gate=local_gate)
     need_w, need_nl = int(maxw), int(ncnt)
     if (need_w <= chunked(w) and need_nl <= nl_chunked(nl)) \
             or max_escalations == 0:
@@ -819,7 +886,8 @@ def bvh_forces(
             tree, leaf_size=leaf_size, theta=float(theta),
             softening=float(config.softening), group_size=G, batch=batch,
             frontier_width=w2, near_cap=nl2, return_stats=True,
-            multipole=multipole, group_ids=jnp.asarray(ids_p, jnp.int32))
+            multipole=multipole, far_impl=far_impl, local_gate=local_gate,
+            group_ids=jnp.asarray(ids_p, jnp.int32))
         need_w, need_nl = int(maxw2), int(ncnt2)
         if (need_w <= chunked(w2) and need_nl <= nl_chunked(nl2)) \
                 or (chunked(w2) >= 2 * n and nl2 >= 2 * n):

@@ -644,7 +644,8 @@ def _quad_cell_accel(targets, com, mass, S):
 
 def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
                     tpos: jax.Array, *, k: int, multipole: str,
-                    levels=None) -> jax.Array:
+                    levels=None, far_impl: str = "point",
+                    local_ratio: float = 0.18) -> jax.Array:
     """Telescoping V-list far field for a batch of target groups.
 
     Each target group b (a leaf cell's bodies in the dense path, a body
@@ -656,12 +657,34 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
     [B, T, D]. Shared by the dense per-leaf evaluation
     (:func:`grid_tree_accel_sorted`) and the sparse per-chunk evaluation
     (ops/sparse_grid.py).
+
+    ``far_impl="local"`` switches eligible levels to the cell→cell local
+    expansion (ops/local_expansion.py): each level's V-list cells are
+    accumulated into an order-2 Taylor expansion at the *leaf center* and
+    evaluated once per body at the end, removing the body axis from the
+    per-candidate work (the dominant VPU term at θ=0.25, where every level
+    carries (2k+1)^D·2^D candidates). A level is eligible when its worst-
+    case Taylor ratio |ρ|/d ≈ √D/(2k·2^(L−l)) is ≤ ``local_ratio`` — the
+    leaf level (l = L) never is (ratio ≈ √D/(2k+1)), so the nearest, most
+    error-sensitive ring always stays per-body.
     """
     dim, L = tree.dim, tree.leaf_level
     B = leaf_ids_b.shape[0]
     cand_offs, _ = _ring_offsets(dim, k)
     cand_offs = jnp.asarray(cand_offs)
     acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
+    use_local = far_impl == "local"
+    if use_local:
+        from .local_expansion import eval_local, local_coeffs, num_coeffs
+        leaf_xy = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)
+        center = tree.lo + (leaf_xy.astype(tree.pos_sorted.dtype) + 0.5) \
+            * tree.cell_sizes[L]  # [B, D] leaf geometric centers
+        _, nj, nh = num_coeffs(dim)
+        dt = tree.pos_sorted.dtype
+        a0 = jnp.zeros((B, dim), dt)
+        Jp = jnp.zeros((B, nj), dt)
+        Hp = jnp.zeros((B, nh), dt)
+        any_local = False
     for l in (range(2, L + 1) if levels is None else levels):
         anc = (leaf_ids_b >> (dim * (L - l))).astype(jnp.uint32)
         anc_xy = cell_coords(anc, dim).astype(jnp.int32)  # [B, D]
@@ -681,11 +704,21 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
         cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
         cmass = cpack[..., 3] * is_far
         ccom = cpack[..., :dim]
-        if multipole == "quad":
+        local_l = use_local and l < L and (
+            (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= local_ratio)
+        if local_l:
+            cS = (tree.level_quad[l][cand_ids] * is_far[..., None]
+                  if multipole == "quad" else None)
+            da0, dJ, dH = local_coeffs(center, ccom, cmass, cS)
+            a0, Jp, Hp = a0 + da0, Jp + dJ, Hp + dH
+            any_local = True
+        elif multipole == "quad":
             cquad = tree.level_quad[l][cand_ids] * is_far[..., None]
             acc = acc + _quad_cell_accel(tpos, ccom, cmass, cquad)
         else:
             acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
+    if use_local and any_local:
+        acc = acc + eval_local(tpos - center[:, None, :], a0, Jp, Hp)
     return acc
 
 
@@ -693,7 +726,7 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
     jax.jit,
     static_argnames=("k", "softening", "leaf_batch", "shard_axis",
                      "num_shards", "p2p_impl", "multipole", "num_segments",
-                     "_debug_skip"))
+                     "far_impl", "_debug_skip"))
 def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            softening: float = 0.0,
                            leaf_batch: int = 512,
@@ -703,6 +736,7 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            multipole: str = "mono",
                            num_segments: int = 1,
                            segment_index: Optional[jax.Array] = None,
+                           far_impl: str = "point",
                            _debug_skip: str = "") -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
@@ -770,7 +804,8 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         # --- Far field: V-list per level (shared helper) ---------------
         if "far" not in _debug_skip:
             acc = acc + far_field_rings(tree, leaf_ids_b, tpos, k=k,
-                                        multipole=multipole)
+                                        multipole=multipole,
+                                        far_impl=far_impl)
 
         # --- Near field: leaf P2P over the (2k+1)^D neighborhood -------
         if "near" not in _debug_skip:
@@ -819,9 +854,10 @@ def theta_to_ring(theta: float) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_level", "capacity", "k", "softening",
-                     "leaf_batch", "p2p_impl", "multipole"))
+                     "leaf_batch", "p2p_impl", "multipole", "far_impl"))
 def _bh_grid_fused(positions, masses, g, *, leaf_level, capacity, k,
-                   softening, leaf_batch, p2p_impl, multipole):
+                   softening, leaf_batch, p2p_impl, multipole,
+                   far_impl="point"):
     """Build + traversal + unsort + G-scale as ONE device program.
 
     Through the axon relay every eager op is a ~30 ms host round-trip
@@ -836,7 +872,7 @@ def _bh_grid_fused(positions, masses, g, *, leaf_level, capacity, k,
                            quad=(multipole == "quad"))
     acc_sorted = grid_tree_accel_sorted(
         tree, k=k, softening=softening, leaf_batch=leaf_batch,
-        p2p_impl=p2p_impl, multipole=multipole)
+        p2p_impl=p2p_impl, multipole=multipole, far_impl=far_impl)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc
 
@@ -852,6 +888,7 @@ def barnes_hut_grid(
     p2p_impl: str = "auto",
     multipole: str = "quad",
     layout: str = "auto",
+    far_impl: str = "point",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248).
 
@@ -859,6 +896,11 @@ def barnes_hut_grid(
     quadrupole — the standard accuracy upgrade over the reference's
     monopole-at-COM (octree.cpp:146-151), which remains available as
     ``multipole="mono"``.
+
+    ``far_impl="local"`` accumulates eligible far-field levels into an
+    order-2 local expansion at each leaf center instead of evaluating
+    every candidate cell per body (see :func:`far_field_rings`) —
+    arithmetic drops ~(levels−1)× on the far field at θ=0.25.
 
     ``layout``: "dense" is the capacity-padded per-leaf evaluation (fastest
     on quasi-uniform inputs; refuses degenerate capacities); "sparse" is
@@ -888,7 +930,8 @@ def barnes_hut_grid(
     if layout == "sparse":
         from .sparse_grid import barnes_hut_sparse
         return barnes_hut_sparse(positions, masses, config, theta=theta,
-                                 leaf_level=leaf_level, multipole=multipole)
+                                 leaf_level=leaf_level, multipole=multipole,
+                                 far_impl=far_impl)
     if capacity is None:
         capacity = compute_capacity_cached(positions, leaf_level)
         if layout == "auto" and dense_layout_degenerate(
@@ -896,7 +939,7 @@ def barnes_hut_grid(
             from .sparse_grid import barnes_hut_sparse
             return barnes_hut_sparse(positions, masses, config, theta=theta,
                                      leaf_level=leaf_level,
-                                     multipole=multipole)
+                                     multipole=multipole, far_impl=far_impl)
         check_grid_capacity(capacity, n, leaf_level, dim, "barnes_hut_grid")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     g = jnp.asarray(config.G, positions.dtype)
@@ -907,7 +950,7 @@ def barnes_hut_grid(
         return _bh_grid_fused(
             positions, masses, g, leaf_level=leaf_level, capacity=capacity,
             k=k, softening=float(config.softening), leaf_batch=leaf_batch,
-            p2p_impl=p2p_impl, multipole=multipole)
+            p2p_impl=p2p_impl, multipole=multipole, far_impl=far_impl)
 
     # Watchdog-bounded segmented path (N≥4M 3D wide rings): each segment
     # must stay its own dispatch — that is the point of the split.
@@ -919,7 +962,7 @@ def barnes_hut_grid(
             tree, k=k, softening=float(config.softening),
             leaf_batch=leaf_batch, p2p_impl=p2p_impl, multipole=multipole,
             num_segments=num_segments,
-            segment_index=jnp.int32(si))
+            segment_index=jnp.int32(si), far_impl=far_impl)
         acc_sorted = part if acc_sorted is None else acc_sorted + part
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc

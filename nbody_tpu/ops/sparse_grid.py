@@ -217,10 +217,10 @@ def near_field_windows(tree: GridTree, cell_b: jax.Array,
     jax.jit,
     static_argnames=("leaf_level", "k", "softening", "chunk_size",
                      "num_chunks", "max_windows", "chunk_batch",
-                     "window", "multipole"))
+                     "window", "multipole", "far_impl"))
 def _bh_sparse_fused(positions, masses, g, *, leaf_level, k, softening,
                      chunk_size, num_chunks, max_windows, chunk_batch,
-                     window, multipole):
+                     window, multipole, far_impl="point"):
     """Build + chunked evaluation + unsort + G-scale as ONE device program
     (same relay-latency rationale as grid_tree._bh_grid_fused)."""
     n, dim = positions.shape
@@ -251,7 +251,7 @@ def _bh_sparse_fused(positions, masses, g, *, leaf_level, k, softening,
         rows = bt[jnp.clip(idx, 0, nrows - 1)]
         tpos = rows[..., :dim]  # garbage rows masked at the output gather
         acc = far_field_rings(tree, cell_b, tpos, k=k,
-                              multipole=multipole)
+                              multipole=multipole, far_impl=far_impl)
         acc = acc + near_field_windows(
             tree, cell_b, tpos, k=k, window=window,
             max_windows=max_windows, softening=softening)
@@ -282,6 +282,7 @@ def barnes_hut_sparse(
     window: int = 8,
     chunk_batch: int = 128,
     multipole: str = "quad",
+    far_impl: str = "point",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] on the sparse (clustered-input) grid path.
 
@@ -306,4 +307,5 @@ def barnes_hut_sparse(
         positions, masses, g, leaf_level=leaf_level, k=k,
         softening=float(config.softening), chunk_size=chunk_size,
         num_chunks=num_chunks, max_windows=max_windows,
-        chunk_batch=chunk_batch, window=window, multipole=multipole)
+        chunk_batch=chunk_batch, window=window, multipole=multipole,
+        far_impl=far_impl)

@@ -1,0 +1,215 @@
+"""Local (Taylor) expansion of far-field cell sums: derivative closed forms
+pinned against jax.jacfwd, and the expansion's convergence behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbody_tpu.ops.grid_tree import (_point_mass_accel, _quad_cell_accel,
+                                     _quad_pairs)
+from nbody_tpu.ops.local_expansion import (eval_local, local_coeffs,
+                                           _h_triples, num_coeffs)
+
+
+def _random_cells(dim, K, seed, scale=1e7):
+    rng = np.random.default_rng(seed)
+    # Cells on a shell well away from the center (local-eligible geometry),
+    # at the reference's 1e7 coordinate scale.
+    center = jnp.asarray(rng.uniform(-1, 1, size=(dim,)) * scale)
+    dirs = rng.normal(size=(K, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = rng.uniform(0.3, 3.0, size=(K, 1)) * scale
+    com = center + jnp.asarray(dirs * radii)
+    mass = jnp.asarray(rng.uniform(0.1, 5.0, size=(K,)) * 1e12)
+    nq = len(_quad_pairs(dim))
+    # Random PSD-ish second moments at a plausible (cell extent)² scale.
+    S = jnp.asarray(rng.uniform(-1, 1, size=(K, nq)) * 1e12 * (0.05 * scale) ** 2)
+    return center, com, mass, S
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("multipole", ["mono", "quad"])
+def test_coeffs_match_jacfwd(dim, multipole):
+    """a0 / J / H closed forms == autodiff of the direct cell sum (f64)."""
+    center, com, mass, S = _random_cells(dim, K=7, seed=dim * 10 + 1)
+    center = center.astype(jnp.float64)
+    com = com.astype(jnp.float64)
+    mass = mass.astype(jnp.float64)
+    S = S.astype(jnp.float64)
+    Sarg = S if multipole == "quad" else None
+
+    if multipole == "quad":
+        def f(y):
+            return _quad_cell_accel(y[None, None, :], com[None], mass[None],
+                                    S[None])[0, 0]
+    else:
+        def f(y):
+            return _point_mass_accel(y[None, None, :], com[None], mass[None],
+                                     0.0)[0, 0]
+
+    a0, Jp, Hp = local_coeffs(center, com, mass, Sarg)
+
+    a_ref = f(center)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a_ref),
+                               rtol=1e-12, atol=0)
+
+    J_ref = jax.jacfwd(f)(center)  # J_ref[a, b] = ∂a_a/∂y_b
+    jidx = {p: i for i, p in enumerate(_quad_pairs(dim))}
+    for a in range(dim):
+        for b in range(dim):
+            i = jidx[(a, b)] if (a, b) in jidx else jidx[(b, a)]
+            np.testing.assert_allclose(
+                float(Jp[i]), float(J_ref[a, b]), rtol=1e-10,
+                err_msg=f"J[{a},{b}] {multipole}")
+    # J must be symmetric (a = −∇φ ⇒ J is a Hessian of φ).
+    np.testing.assert_allclose(np.asarray(J_ref), np.asarray(J_ref).T,
+                               rtol=1e-10)
+
+    if multipole == "mono":
+        H_ref = jax.jacfwd(jax.jacfwd(f))(center)
+        hidx = {t: i for i, t in enumerate(_h_triples(dim))}
+        for a in range(dim):
+            for b in range(dim):
+                for c in range(dim):
+                    i = hidx[tuple(sorted((a, b, c)))]
+                    np.testing.assert_allclose(
+                        float(Hp[i]), float(H_ref[a, b, c]), rtol=1e-9,
+                        err_msg=f"H[{a},{b},{c}]")
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_taylor_convergence(dim):
+    """eval_local error vs the direct sum shrinks like (|ρ|/d)³ (f64)."""
+    center, com, mass, S = _random_cells(dim, K=16, seed=dim, scale=1.0)
+    center = center.astype(jnp.float64)
+    com = com.astype(jnp.float64)
+    mass = mass.astype(jnp.float64) * 1e-12
+    S = S.astype(jnp.float64) * 1e-12
+
+    a0, Jp, Hp = local_coeffs(center, com, mass, S)
+
+    rng = np.random.default_rng(99)
+    dirs = rng.normal(size=(32, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    errs = []
+    for rho_mag in (0.02, 0.01):  # |ρ|/d_min ≈ 0.07 and 0.035
+        rho = jnp.asarray(dirs * rho_mag)
+        approx = eval_local(rho[None], a0[None], Jp[None], Hp[None])[0]
+        exact = _quad_cell_accel((center + rho)[None], com[None],
+                                 mass[None], S[None])[0]
+        scale = float(jnp.max(jnp.linalg.norm(exact, axis=-1)))
+        errs.append(float(jnp.max(
+            jnp.linalg.norm(approx - exact, axis=-1))) / scale)
+    # Halving ρ must cut the error ~8× (order-2 Taylor); allow 5×.
+    assert errs[1] < errs[0] / 5.0, errs
+    assert errs[0] < 1e-3, errs
+
+
+def test_num_coeffs():
+    assert num_coeffs(2) == (2, 3, 4)
+    assert num_coeffs(3) == (3, 6, 10)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: the Barnes-Hut tiers with far_impl="local".
+# ---------------------------------------------------------------------------
+
+from nbody_tpu import GravityConfig, random_system  # noqa: E402
+from nbody_tpu.ops.brute_force import brute_force_direct  # noqa: E402
+from nbody_tpu.ops.grid_tree import barnes_hut_grid  # noqa: E402
+from nbody_tpu.utils.accuracy import (accuracy_percentage,  # noqa: E402
+                                      scale_normalized_error)
+
+
+def test_bh_local_matches_point(rng_key, dim):
+    """Grid-BH far_impl='local' stays within ~2× of the per-body far field
+    on the normalized error (the order-2 Taylor truncation is gated below
+    the multipole truncation) — θ=0.25, deep tree so local levels engage."""
+    sys = random_system(rng_key, 4096, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    kw = dict(theta=0.25, leaf_level=5 if dim == 2 else 3)
+    e_point = float(scale_normalized_error(barnes_hut_grid(
+        sys.positions, sys.masses, cfg, far_impl="point", **kw), want))
+    e_local = float(scale_normalized_error(barnes_hut_grid(
+        sys.positions, sys.masses, cfg, far_impl="local", **kw), want))
+    assert e_local < max(2.0 * e_point, 1e-6), (e_point, e_local)
+
+
+def test_bh_local_accuracy_percentage(rng_key):
+    """Reference per-component metric: local far field at θ=0.25 must still
+    clear 99% in f32 (the judged accuracy bar for the quad tier)."""
+    sys = random_system(rng_key, 8192, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
+                          leaf_level=4, multipole="quad", far_impl="local")
+    assert float(accuracy_percentage(got, want)) >= 99.0
+
+
+def test_bh_local_theta05(rng_key):
+    """θ=0.5 (k=1): only levels with Taylor ratio ≤ 0.18 go local (l ≤ L−2
+    in 2D); accuracy must not degrade materially vs the per-body path."""
+    sys = random_system(rng_key, 4096, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    kw = dict(theta=0.5, leaf_level=5)
+    e_point = float(scale_normalized_error(barnes_hut_grid(
+        sys.positions, sys.masses, cfg, far_impl="point", **kw), want))
+    e_local = float(scale_normalized_error(barnes_hut_grid(
+        sys.positions, sys.masses, cfg, far_impl="local", **kw), want))
+    assert e_local < max(1.5 * e_point, 1e-6), (e_point, e_local)
+
+
+def test_bvh_local_matches_point(rng_key, dim):
+    """BVH far_impl='local' (group-center expansion for accepted nodes
+    beyond the gate) stays within ~2× of the per-body walk's error."""
+    from nbody_tpu.ops.bvh import bvh_forces
+    sys = random_system(rng_key, 4096, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    e_point = float(scale_normalized_error(bvh_forces(
+        sys.positions, sys.masses, cfg, theta=0.25,
+        far_impl="point"), want))
+    e_local = float(scale_normalized_error(bvh_forces(
+        sys.positions, sys.masses, cfg, theta=0.25,
+        far_impl="local"), want))
+    assert e_local < max(2.0 * e_point, 1e-6), (e_point, e_local)
+
+
+def test_bvh_local_huge_gate_equals_point(rng_key):
+    """With an unreachable gate no node is local-eligible: the local path
+    must reproduce the per-body walk (regression guard on the mask split)."""
+    from nbody_tpu.ops.bvh import bvh_forces
+    sys = random_system(rng_key, 2048, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    f_point = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                         far_impl="point")
+    f_gated = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                         far_impl="local", local_gate=1e30)
+    np.testing.assert_allclose(np.asarray(f_gated), np.asarray(f_point),
+                               rtol=1e-12)
+
+
+def test_bvh_local_accuracy_percentage(rng_key):
+    """Reference per-component metric: BVH local far field ≥ 99% in f32."""
+    from nbody_tpu.ops.bvh import bvh_forces
+    sys = random_system(rng_key, 8192, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                     multipole="quad", far_impl="local")
+    assert float(accuracy_percentage(got, want)) >= 99.0
+
+
+def test_bh_sparse_local(rng_key):
+    """The sparse (clustered-input) grid path accepts far_impl='local'."""
+    from nbody_tpu.ops.sparse_grid import barnes_hut_sparse
+    sys = random_system(rng_key, 2048, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = barnes_hut_sparse(sys.positions, sys.masses, cfg, theta=0.25,
+                            leaf_level=5, far_impl="local")
+    err = float(scale_normalized_error(got, want))
+    assert err < 5e-4, err

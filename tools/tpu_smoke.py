@@ -93,6 +93,9 @@ def main() -> int:
     p.add_argument("--clustered", action="store_true",
                    help="60%%-core clustered input: gates the sparse grid "
                         "fallback and the BVH escalation path")
+    p.add_argument("--local-far", action="store_true",
+                   help="also gate the far_impl='local' (cell→cell Taylor) "
+                        "variants of the BH grid and BVH tiers")
     args = p.parse_args()
 
     cfg = nb.GravityConfig()
@@ -108,22 +111,41 @@ def main() -> int:
     import numpy as np
     oracle_h = np.asarray(oracle)
 
+    checks = [(m.name, lambda m=m: m.fn(
+        system.positions, system.masses, cfg, DEFAULT_TREE))
+        for m in methods_for_tiers("abhf")]
+    if args.local_far:
+        # The local-expansion far field shares each tier's error budget:
+        # the Taylor truncation is gated below the multipole truncation
+        # (ops/local_expansion.py), so a budget miss means a real bug.
+        from nbody_tpu.ops.bvh import bvh_forces
+        from nbody_tpu.ops.grid_tree import barnes_hut_grid
+        checks += [
+            ("BarnesHut_Grid+local", lambda: barnes_hut_grid(
+                system.positions, system.masses, cfg, theta=cfg.theta,
+                far_impl="local")),
+            ("BarnesHut_Grid_Theta05+local", lambda: barnes_hut_grid(
+                system.positions, system.masses, cfg, theta=0.5,
+                far_impl="local")),
+            ("BVH_Radix+local", lambda: bvh_forces(
+                system.positions, system.masses, cfg, far_impl="local")),
+        ]
+
     failed = []
-    for m in methods_for_tiers("abhf"):
+    for name, run in checks:
         try:
-            forces = np.asarray(
-                m.fn(system.positions, system.masses, cfg, DEFAULT_TREE))
+            forces = np.asarray(run())
             err = float(scale_normalized_error(forces, oracle_h))
         except Exception as e:  # noqa: BLE001
-            print(f"  {m.name:<28} ERROR {type(e).__name__}: {e}")
-            failed.append(m.name)
+            print(f"  {name:<28} ERROR {type(e).__name__}: {e}")
+            failed.append(name)
             continue
-        b = budget_for(m.name, args.dim, args.clustered)
+        b = budget_for(name.replace("+local", ""), args.dim, args.clustered)
         ok = err <= b
-        print(f"  {m.name:<28} err={err:.3e}  budget={b:.0e}  "
+        print(f"  {name:<28} err={err:.3e}  budget={b:.0e}  "
               f"{'OK' if ok else 'FAIL'}")
         if not ok:
-            failed.append(m.name)
+            failed.append(name)
 
     if failed:
         print("FAILED:", ", ".join(failed))

@@ -84,13 +84,17 @@ def main():
     else:
         k = theta_to_ring(args.theta)
 
-        for skip, label in (("", f"bh eval full (k={k})"),
-                            ("near", "bh far only"),
-                            ("far", "bh near only"),
-                            ("far,near", "bh scatter/slots only")):
-            def run_bh(skip=skip):
+        for skip, far_impl, label in (
+                ("", "point", f"bh eval full (k={k})"),
+                ("near", "point", "bh far only"),
+                ("far", "point", "bh near only"),
+                ("far,near", "point", "bh scatter/slots only"),
+                ("", "local", "bh eval full (local far)"),
+                ("near", "local", "bh far only (local)")):
+            def run_bh(skip=skip, far_impl=far_impl):
                 acc = grid_tree_accel_sorted(tree, k=k, softening=soft,
                                              multipole="quad",
+                                             far_impl=far_impl,
                                              _debug_skip=skip)
                 return float(jnp.sum(jnp.abs(acc)))
             timed(label, run_bh)
