@@ -307,10 +307,10 @@ def _windows_to_local(acc_win, key_s, starts, *, my0, cc, cap, dim):
     jax.jit,
     static_argnames=("dim", "L", "nshard", "cc", "cap", "H", "halo_cap",
                      "k", "softening", "G", "axis_name", "leaf_batch",
-                     "multipole"))
+                     "multipole", "far_impl"))
 def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
                   halo_cap, k, softening, G, axis_name, leaf_batch,
-                  multipole="quad"):
+                  multipole="quad", far_impl="point"):
     """Per-chip LET Barnes-Hut (runs under shard_map).
 
     Returns (forces_loc [PH, D], idx_loc [PH], valid [PH]).
@@ -337,12 +337,26 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
     lb = min(leaf_batch, cc)
     my_cells = my0 + jnp.arange(cc, dtype=jnp.int32)
 
+    use_local = far_impl == "local"
+
     def far_batch(cells_b):
         B = cells_b.shape[0]
         rel_b = cells_b - my0
         tb, _, _ = _window_rows_raw(body_pack, starts, counts, cap, rel_b)
         tpos = tb[..., :dim]
         acc = jnp.zeros(tpos.shape, dtype)
+        if use_local:
+            # Cell→cell far field (same gating as grid_tree.far_field_rings).
+            from ..ops.local_expansion import (eval_local, local_coeffs,
+                                               num_coeffs)
+            leaf_xy = cell_coords(cells_b.astype(jnp.uint32), dim)
+            csize = (hi - lo) / (1 << L)
+            center = lo + (leaf_xy.astype(dtype) + 0.5) * csize  # [B, D]
+            _, nj, nh = num_coeffs(dim)
+            a0 = jnp.zeros((B, dim), dtype)
+            Jp = jnp.zeros((B, nj), dtype)
+            Hp = jnp.zeros((B, nh), dtype)
+            any_local = False
         # Far field: identical V-list geometry to grid_tree (single chip).
         for l in range(2, L + 1):
             anc = (cells_b >> (dim * (L - l))).astype(jnp.uint32)
@@ -358,13 +372,24 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
                 jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
                 .reshape(-1, dim), l).astype(jnp.int32).reshape(B, -1)
             cpack = level_pack[l][cand_ids]
-            if multipole == "quad":
+            local_l = use_local and l < L and (
+                (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= 0.18)
+            if local_l:
+                cS = (level_quad[l][cand_ids] * is_far[..., None]
+                      if multipole == "quad" else None)
+                da0, dJ, dH = local_coeffs(
+                    center, cpack[..., :dim], cpack[..., 3] * is_far, cS)
+                a0, Jp, Hp = a0 + da0, Jp + dJ, Hp + dH
+                any_local = True
+            elif multipole == "quad":
                 cquad = level_quad[l][cand_ids] * is_far[..., None]
                 acc = acc + _quad_cell_accel(
                     tpos, cpack[..., :dim], cpack[..., 3] * is_far, cquad)
             else:
                 acc = acc + _point_mass_accel(
                     tpos, cpack[..., :dim], cpack[..., 3] * is_far, 0.0)
+        if use_local and any_local:
+            acc = acc + eval_local(tpos - center[:, None, :], a0, Jp, Hp)
         return acc
 
     far = jax.lax.map(far_batch, my_cells.reshape(cc // lb, lb))
@@ -605,6 +630,7 @@ def let_barnes_hut(
     halo_cap: Optional[int] = None,
     leaf_batch: int = 512,
     multipole: str = "quad",
+    far_impl: str = "point",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] with body-sharded LET distribution.
 
@@ -617,7 +643,8 @@ def let_barnes_hut(
     """
     theta = config.theta if theta is None else theta
     return _let_launch(
-        functools.partial(_let_bh_local, multipole=multipole),
+        functools.partial(_let_bh_local, multipole=multipole,
+                          far_impl=far_impl),
         positions, masses, config, mesh, axis_name,
         theta_to_ring(theta), leaf_level, capacity, bucket_headroom,
         halo_cap, leaf_batch)

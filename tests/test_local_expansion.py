@@ -203,6 +203,24 @@ def test_bvh_local_accuracy_percentage(rng_key):
     assert float(accuracy_percentage(got, want)) >= 99.0
 
 
+def test_let_bh_local_matches_single_device(rng_key):
+    """LET (body-sharded) far_impl='local' == single-chip local path on the
+    8-device CPU mesh (identical trees, same level gating and centers)."""
+    from nbody_tpu.parallel.let_tree import let_barnes_hut
+    from nbody_tpu.parallel.mesh import make_mesh
+    sys = random_system(rng_key, 1500, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    L = 5  # deep enough that levels 2..4 are local-eligible at k=3
+    single = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
+                             leaf_level=L, far_impl="local")
+    sharded = let_barnes_hut(sys.positions, sys.masses, cfg,
+                             mesh=make_mesh(), theta=0.25, leaf_level=L,
+                             far_impl="local")
+    assert np.all(np.isfinite(np.asarray(sharded)))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-8, atol=1e-30)
+
+
 def test_bh_sparse_local(rng_key):
     """The sparse (clustered-input) grid path accepts far_impl='local'."""
     from nbody_tpu.ops.sparse_grid import barnes_hut_sparse
