@@ -1,0 +1,152 @@
+"""Device-resident per-step timing: K integration steps in ONE dispatch.
+
+The sweep's ``Time(s)`` column (reference schema, ``utils.h:88-104``
+semantics) times a single force evaluation *wall-clock* — which, through
+the axon TPU tunnel, includes a ~30-60 ms host↔device round trip per
+dispatch. At N ≤ 1e4 that RTT is ~10-100× the actual device work, so the
+small-N rows measure the test harness's network path, not the engine (the
+reference's CPU rows have no such tunnel). This tool measures what a
+locally-attached device would see: a ``lax.scan`` of K Euler steps (one
+force evaluation each) compiled into ONE program, timed across one
+dispatch, divided by K. Positions really advance each step (velocities are
+nonzero), so XLA cannot CSE the force evaluations.
+
+Output: a table + ``artifacts/results/device_step_times.csv`` with schema
+``Bodies,Method,Dimension,StepTime(s),Steps`` — a *companion* artifact; the
+reference-schema CSVs are untouched.
+
+Methods are closed over concrete probe results (leaf level, capacity,
+traversal caps) taken from the initial state, as any real stepping loop
+would be; with reference-unit accelerations (~1e-25) the tree structure
+cannot drift over K steps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+import nbody_tpu as nb
+from nbody_tpu.integrators import euler_step
+
+
+def jittable_force_fn(name: str, pos, mass, cfg):
+    """A jit-safe (static-shape, probe-free) closure for one method, with
+    all concrete probes resolved from the initial state."""
+    n, dim = pos.shape
+    if name == "BruteForce_JNP":
+        from nbody_tpu.ops.brute_force import brute_force_blocked
+        return lambda p, m: brute_force_blocked(p, m, cfg, block_size=1024)
+    if name == "BruteForce_Pallas":
+        from nbody_tpu.ops.pallas_brute import brute_force_pallas
+        mode = "symmetric" if n <= 2_097_152 else "precise"
+        return lambda p, m: brute_force_pallas(p, m, cfg, mode=mode)
+    if name.startswith("BarnesHut_Grid"):
+        from nbody_tpu.ops.grid_tree import (auto_leaf_level,
+                                             barnes_hut_grid,
+                                             compute_capacity_cached,
+                                             theta_to_ring)
+        theta = 0.5 if name.endswith("Theta05") else cfg.theta
+        L = auto_leaf_level(n, dim, k=theta_to_ring(theta))
+        cap = compute_capacity_cached(pos, L)
+        return lambda p, m: barnes_hut_grid(
+            p, m, cfg, theta=theta, leaf_level=L, capacity=cap)
+    if name == "BVH_Radix":
+        # bvh_forces' escalation driver needs concrete stats; the fused
+        # kernel with explicit capacities is the traceable core.
+        from nbody_tpu.ops.bvh import _bvh_fused
+        from nbody_tpu.ops.keys import MAX_BITS
+        g = jnp.asarray(cfg.G, pos.dtype)
+        kw = dict(key_bits=dim * MAX_BITS[dim], quad=True, leaf_size=16,
+                  theta=0.25, softening=float(cfg.softening),
+                  group_size=128 if dim == 2 else 256, batch=128,
+                  frontier_width=min(1024 if dim == 2 else 8192, 2 * n),
+                  near_cap=min(1024 if dim == 2 else 8192, 2 * n),
+                  multipole="quad")
+        return lambda p, m: _bvh_fused(p, m, g, **kw)[0]
+    if name == "FMM_Chebyshev":
+        from nbody_tpu.ops.fmm import fmm_forces
+        from nbody_tpu.ops.grid_tree import (auto_leaf_level,
+                                             compute_capacity_cached)
+        L = auto_leaf_level(n, dim)
+        cap = compute_capacity_cached(pos, L)
+        return lambda p, m: fmm_forces(p, m, cfg, order=5, leaf_level=L,
+                                       capacity=cap)
+    raise ValueError(f"no jittable adapter for {name}")
+
+
+def measure(name: str, system, cfg, steps: int) -> float:
+    forces_fn = jittable_force_fn(name, system.positions, system.masses,
+                                  cfg)
+
+    @jax.jit
+    def run(sys0):
+        def body(s, _):
+            return euler_step(s, forces_fn, 1e-6), None
+        out, _ = jax.lax.scan(body, sys0, None, length=steps)
+        return out
+
+    out = run(system)  # compile + warmup
+    _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize (relay-safe)
+    t0 = time.perf_counter()
+    out = run(system)
+    _ = float(jnp.sum(jnp.abs(out.positions)))
+    return (time.perf_counter() - t0) / steps
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-N", type=int, nargs="+",
+                    default=[1000, 10_000, 100_000])
+    ap.add_argument("--dim", type=int, nargs="+", default=[2, 3])
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--methods", type=str, default=None,
+                    help="comma list; default = all adapters on this "
+                         "backend")
+    ap.add_argument("--out", type=str,
+                    default="artifacts/results/device_step_times.csv")
+    args = ap.parse_args()
+
+    cfg = nb.GravityConfig()
+    names = (args.methods.split(",") if args.methods else
+             ["BruteForce_JNP", "BruteForce_Pallas", "BarnesHut_Grid",
+              "BarnesHut_Grid_Theta05", "BVH_Radix", "FMM_Chebyshev"])
+    if jax.default_backend() != "tpu" and "BruteForce_Pallas" in names:
+        names.remove("BruteForce_Pallas")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    new = not os.path.exists(args.out)
+    rows = []
+    with open(args.out, "a") as f:
+        if new:
+            f.write("Bodies,Method,Dimension,StepTime(s),Steps\n")
+        for dim in args.dim:
+            for n in args.N:
+                system = nb.random_system(jax.random.key(42), n, dim=dim,
+                                          dtype=jnp.float32)
+                for name in names:
+                    try:
+                        t = measure(name, system, cfg, args.steps)
+                    except Exception as e:  # noqa: BLE001
+                        print(f"{name:<24} N={n:>8} {dim}D  ERROR "
+                              f"{type(e).__name__}: {e}")
+                        continue
+                    print(f"{name:<24} N={n:>8} {dim}D  "
+                          f"{t * 1e3:9.3f} ms/step")
+                    f.write(f"{n},{name},{dim},{t:.6e},{args.steps}\n")
+                    f.flush()
+                    rows.append((n, name, dim, t))
+    print(f"\n{len(rows)} rows appended to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
