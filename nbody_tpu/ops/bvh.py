@@ -556,7 +556,10 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                     Sl = (nt[..., 6 + dim:6 + dim + len(qpairs)]
                           * far_loc[..., None]
                           if multipole == "quad" else None)
-                    da0, dJ, dH = local_coeffs(center_g, com, lmass, Sl)
+                    # Same ε as the inline path's rsqrt(fd2 + soft2): the
+                    # closed forms hold under softening (see local_coeffs).
+                    da0, dJ, dH = local_coeffs(center_g, com, lmass, Sl,
+                                               softening=softening)
                     return (acc2, kids2, leaf2,
                             la0 + da0, lJ + dJ, lH + dH)
                 return acc2, kids2, leaf2

@@ -645,7 +645,7 @@ def _quad_cell_accel(targets, com, mass, S):
 def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
                     tpos: jax.Array, *, k: int, multipole: str,
                     levels=None, far_impl: str = "point",
-                    local_ratio: float = 0.18) -> jax.Array:
+                    local_ratio: Optional[float] = None) -> jax.Array:
     """Telescoping V-list far field for a batch of target groups.
 
     Each target group b (a leaf cell's bodies in the dense path, a body
@@ -675,7 +675,11 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
     acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
     use_local = far_impl == "local"
     if use_local:
-        from .local_expansion import eval_local, local_coeffs, num_coeffs
+        from .local_expansion import (LOCAL_RATIO_DEFAULT, eval_local,
+                                      local_coeffs, num_coeffs,
+                                      ring_level_is_local)
+        if local_ratio is None:
+            local_ratio = LOCAL_RATIO_DEFAULT
         leaf_xy = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)
         center = tree.lo + (leaf_xy.astype(tree.pos_sorted.dtype) + 0.5) \
             * tree.cell_sizes[L]  # [B, D] leaf geometric centers
@@ -704,8 +708,8 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
         cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
         cmass = cpack[..., 3] * is_far
         ccom = cpack[..., :dim]
-        local_l = use_local and l < L and (
-            (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= local_ratio)
+        local_l = use_local and ring_level_is_local(dim, k, L, l,
+                                                    local_ratio)
         if local_l:
             cS = (tree.level_quad[l][cand_ids] * is_far[..., None]
                   if multipole == "quad" else None)

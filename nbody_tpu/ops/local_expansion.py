@@ -45,13 +45,33 @@ from .brute_force import _DIST2_GUARD
 from .grid_tree import _quad_pairs
 
 
+# Default eligibility threshold on the worst-case Taylor ratio |ρ|/d.
+# Shared by every caller that gates levels/nodes into the local expansion
+# (grid rings, LET rings) so an on-chip retune changes all paths at once.
+LOCAL_RATIO_DEFAULT = 0.18
+
+
+def ring_level_is_local(dim: int, k: int, L: int, l: int,
+                        ratio: float = LOCAL_RATIO_DEFAULT) -> bool:
+    """Is ring level ``l`` of an L-level grid local-eligible?
+
+    Worst-case Taylor ratio of a leaf-centered expansion against level-l
+    V-list cells: |ρ| ≤ (√D/2)·h (leaf half-diagonal) over d ≥ k·h·2^(L−l)
+    (candidate com at the near edge of the ancestor's ring). The leaf level
+    itself (l = L) is never eligible — its ratio √D/(2k+1) is the MAC's own
+    scale.
+    """
+    return l < L and (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= ratio
+
+
 def _h_triples(dim: int):
     """Packed index triples of the fully-symmetric third-derivative tensor."""
     return [t for t in itertools.combinations_with_replacement(range(dim), 3)]
 
 
 def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
-                 S: Optional[jax.Array] = None
+                 S: Optional[jax.Array] = None,
+                 softening: float = 0.0
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Accumulate (a0, J, H) at ``center`` from source cells.
 
@@ -60,7 +80,16 @@ def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
     (monopole sources). Returns a0 [..., D], J packed [..., nj], H packed
     [..., nh] — each summed over the K axis.
 
-    With R = com − center, u = 1/|R|, n = R·u, Ŝ = S·u², t = Ŝn, q = nᵀŜn:
+    ``softening``: Plummer ε of the force law being expanded. Every closed
+    form below holds verbatim under ε-softening with the substitutions
+    u = (r²+ε²)^{−1/2} and n = R·u (then |n| < 1): the only derivative
+    fact used is ∂u/∂y_b = u³R_b, identical in both cases. Callers must
+    pass the SAME ε their per-body evaluation uses (the BVH walk softens
+    accepted nodes; the grid rings do not) or the two paths would compute
+    different laws.
+
+    With R = com − center, u = 1/|R| (softened: see above), n = R·u,
+    Ŝ = S·u², t = Ŝn, q = nᵀŜn:
 
       a0  = M n u²  +  u²[(7.5q − 1.5 trŜ)n − 3t]
       J_ab = M u³(3 n_a n_b − δ_ab)
@@ -81,7 +110,7 @@ def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
     r2 = None
     for Rd in R:
         r2 = Rd * Rd if r2 is None else r2 + Rd * Rd
-    u = jax.lax.rsqrt(r2)
+    u = jax.lax.rsqrt(r2 + jnp.asarray(softening, r2.dtype) ** 2)
     u = jnp.where(r2 < _DIST2_GUARD, 0.0, u)  # empty/coincident cell guard
     u2 = u * u
     u3 = u2 * u

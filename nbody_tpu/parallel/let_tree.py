@@ -348,7 +348,8 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
         if use_local:
             # Cell→cell far field (same gating as grid_tree.far_field_rings).
             from ..ops.local_expansion import (eval_local, local_coeffs,
-                                               num_coeffs)
+                                               num_coeffs,
+                                               ring_level_is_local)
             leaf_xy = cell_coords(cells_b.astype(jnp.uint32), dim)
             csize = (hi - lo) / (1 << L)
             center = lo + (leaf_xy.astype(dtype) + 0.5) * csize  # [B, D]
@@ -372,8 +373,7 @@ def _let_bh_local(pos_l, mass_l, idx_l, *, dim, L, nshard, cc, cap, H,
                 jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
                 .reshape(-1, dim), l).astype(jnp.int32).reshape(B, -1)
             cpack = level_pack[l][cand_ids]
-            local_l = use_local and l < L and (
-                (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= 0.18)
+            local_l = use_local and ring_level_is_local(dim, k, L, l)
             if local_l:
                 cS = (level_quad[l][cand_ids] * is_far[..., None]
                       if multipole == "quad" else None)

@@ -30,5 +30,5 @@ def test_adapters_jit_and_match(rng_key, name):
     # Loose gate: same force law, approximate methods allowed their error.
     assert np.abs(f - want).max() / scale < 5e-2
 
-    t = dsb.measure(name, sys_, cfg, steps=2)
-    assert t > 0
+    t, k = dsb.measure(name, sys_, cfg, steps=2)
+    assert t > 0 and 1 <= k <= 2

@@ -79,6 +79,57 @@ def test_coeffs_match_jacfwd(dim, multipole):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
+def test_coeffs_match_jacfwd_softened(dim):
+    """The closed forms hold verbatim under Plummer softening (the BVH walk
+    softens accepted nodes): pin mono a0/J/H against autodiff of the
+    ε-softened direct sum."""
+    center, com, mass, _ = _random_cells(dim, K=5, seed=dim * 7 + 3,
+                                         scale=1.0)
+    center = center.astype(jnp.float64)
+    com = com.astype(jnp.float64)
+    mass = mass.astype(jnp.float64) * 1e-12
+    eps = 0.3  # comparable to the shell radii — a harsh softening
+
+    def f(y):
+        R = com - y[None, :]
+        u = 1.0 / jnp.sqrt(jnp.sum(R * R, axis=-1) + eps ** 2)
+        return jnp.sum(mass[:, None] * R * (u ** 3)[:, None], axis=0)
+
+    a0, Jp, Hp = local_coeffs(center, com, mass, None, softening=eps)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(f(center)),
+                               rtol=1e-12)
+    J_ref = jax.jacfwd(f)(center)
+    H_ref = jax.jacfwd(jax.jacfwd(f))(center)
+    jidx = {p: i for i, p in enumerate(_quad_pairs(dim))}
+    hidx = {t: i for i, t in enumerate(_h_triples(dim))}
+    for a in range(dim):
+        for b in range(dim):
+            i = jidx[(a, b)] if (a, b) in jidx else jidx[(b, a)]
+            np.testing.assert_allclose(float(Jp[i]), float(J_ref[a, b]),
+                                       rtol=1e-10)
+            for c in range(dim):
+                np.testing.assert_allclose(
+                    float(Hp[hidx[tuple(sorted((a, b, c)))]]),
+                    float(H_ref[a, b, c]), rtol=1e-9)
+
+
+def test_bvh_local_softened_matches_point(rng_key):
+    """With softening > 0 the BVH local path must still agree with the
+    per-body walk (regression for the dropped-softening review finding)."""
+    from nbody_tpu.ops.bvh import bvh_forces
+    sys = random_system(rng_key, 2048, dim=2, dtype=jnp.float64)
+    # Softening at the scale of typical gated distances (domain ~2e7).
+    cfg = GravityConfig(softening=2e5)
+    f_point = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                         far_impl="point")
+    f_local = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
+                         far_impl="local")
+    scale = float(np.abs(np.asarray(f_point)).max())
+    d = float(np.abs(np.asarray(f_local) - np.asarray(f_point)).max())
+    assert d / scale < 5e-4, d / scale
+
+
+@pytest.mark.parametrize("dim", [2, 3])
 def test_taylor_convergence(dim):
     """eval_local error vs the direct sum shrinks like (|ρ|/d)³ (f64)."""
     center, com, mass, S = _random_cells(dim, K=16, seed=dim, scale=1.0)

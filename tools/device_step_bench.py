@@ -35,7 +35,14 @@ import jax
 import jax.numpy as jnp
 
 import nbody_tpu as nb
-from nbody_tpu.integrators import euler_step
+from nbody_tpu.integrators import simulate
+
+# One scan dispatch must stay well under the TPU watchdog that kills the
+# worker process (CLAUDE.md: a ~10.8 s dispatch survives, ~30 s does not —
+# and a killed worker can end TPU access for the whole session). The
+# per-step time is probed with a 1-step program first; the scan length is
+# then capped so steps × t₁ stays under this budget.
+DISPATCH_BUDGET_S = 8.0
 
 
 def jittable_force_fn(name: str, pos, mass, cfg):
@@ -87,19 +94,23 @@ def measure(name: str, system, cfg, steps: int) -> float:
     forces_fn = jittable_force_fn(name, system.positions, system.masses,
                                   cfg)
 
-    @jax.jit
-    def run(sys0):
-        def body(s, _):
-            return euler_step(s, forces_fn, 1e-6), None
-        out, _ = jax.lax.scan(body, sys0, None, length=steps)
-        return out
+    def run_k(k):
+        step_k = jax.jit(functools.partial(
+            simulate, forces_fn=forces_fn, dt=1e-6, num_steps=k,
+            integrator="euler"))
+        out, _ = step_k(system)  # compile + warmup
+        _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize
+        t0 = time.perf_counter()
+        out, _ = step_k(system)
+        _ = float(jnp.sum(jnp.abs(out.positions)))
+        return (time.perf_counter() - t0) / k
 
-    out = run(system)  # compile + warmup
-    _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize (relay-safe)
-    t0 = time.perf_counter()
-    out = run(system)
-    _ = float(jnp.sum(jnp.abs(out.positions)))
-    return (time.perf_counter() - t0) / steps
+    # Probe with one step, then cap the scan at the watchdog budget.
+    t1 = run_k(1)
+    k = max(1, min(steps, int(DISPATCH_BUDGET_S / max(t1, 1e-6))))
+    if k == 1:
+        return t1, 1
+    return run_k(k), k
 
 
 def main() -> int:
@@ -134,14 +145,14 @@ def main() -> int:
                                           dtype=jnp.float32)
                 for name in names:
                     try:
-                        t = measure(name, system, cfg, args.steps)
+                        t, k = measure(name, system, cfg, args.steps)
                     except Exception as e:  # noqa: BLE001
                         print(f"{name:<24} N={n:>8} {dim}D  ERROR "
                               f"{type(e).__name__}: {e}")
                         continue
                     print(f"{name:<24} N={n:>8} {dim}D  "
-                          f"{t * 1e3:9.3f} ms/step")
-                    f.write(f"{n},{name},{dim},{t:.6e},{args.steps}\n")
+                          f"{t * 1e3:9.3f} ms/step (scan of {k})")
+                    f.write(f"{n},{name},{dim},{t:.6e},{k}\n")
                     f.flush()
                     rows.append((n, name, dim, t))
     print(f"\n{len(rows)} rows appended to {args.out}")
