@@ -65,6 +65,46 @@ def _accel_rows(
                      axis=-1)
 
 
+def _accel_rows_sym(
+    targets: jax.Array,  # [T, D]
+    target_masses: jax.Array,  # [T]
+    sources: jax.Array,  # [S, D]
+    source_masses: jax.Array,  # [S]
+    softening,
+):
+    """Newton's-3rd-law rectangular tile: both sides from one pair sweep.
+
+    Returns (acc_t [T, D], part_s [S, D]) where ``acc_t`` is the usual
+    per-target acceleration Σ_s m_s·Δ/r³ (Δ = x_s − x_t) and ``part_s`` is
+    the sources' acceleration contribution from these targets,
+    −Σ_t m_t·Δ/r³ — the cross-chip analog of the reference's symmetric
+    i<j update (``methods.cpp:7-42``). The distance/weight computation is
+    shared, so one tile serves both blocks (the point of the symmetric
+    ring: each unordered block pair is computed once).
+
+    Intended for DISJOINT blocks: no self-pair handling beyond the usual
+    ``d² < guard`` coincident-pair zeroing.
+    """
+    ndim = targets.shape[-1]
+    diffs = []
+    d2 = None
+    for d in range(ndim):
+        diff = sources[:, d][None, :] - targets[:, d][:, None]  # [T, S]
+        diffs.append(diff)
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    soft2 = jnp.asarray(softening, d2.dtype) ** 2
+    inv_r = jax.lax.rsqrt(d2 + soft2)
+    u3 = inv_r * inv_r * inv_r
+    u3 = jnp.where(d2 < _DIST2_GUARD, jnp.zeros_like(u3), u3)
+    w_t = source_masses[None, :] * u3  # [T, S]
+    w_s = target_masses[:, None] * u3
+    acc_t = jnp.stack([jnp.sum(w_t * diffs[d], axis=1)
+                       for d in range(ndim)], axis=-1)
+    part_s = jnp.stack([-jnp.sum(w_s * diffs[d], axis=0)
+                        for d in range(ndim)], axis=-1)
+    return acc_t, part_s
+
+
 def brute_force_accelerations(
     positions: jax.Array,
     masses: jax.Array,

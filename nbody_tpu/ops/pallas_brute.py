@@ -494,6 +494,142 @@ def pallas_local_accel(targets, src_pos, src_mass, softening):
                                  softening=float(softening))
 
 
+def _kernel_sym_tile(pm_ref, src_t_ref, out_t_ref, out_s_ref, *, dim,
+                     soft2, guard, s_sub):
+    """Rectangular Newton's-3rd-law tile: target block vs the full resident
+    source window, BOTH reductions from one pair sweep.
+
+    The cross-chip sibling of ``_kernel_symmetric``: that kernel round-
+    robins block pairs *within* one array; here the two blocks live on
+    different chips (the symmetric ppermute ring computes each unordered
+    shard pair once), so the tile is a plain rectangle and the grid runs
+    over target sub-blocks only. q = u³·Δ is shared; the target side sums
+    m_s·q over lanes, the source side sums m_t·q over rows into a
+    window-wide VMEM accumulator (block index (0, 0), flushed once).
+
+    Refs:
+      pm_ref:    (B, 4) target positions+mass [x, y, z|0, m].
+      src_t_ref: (8, S) transposed sources, rows 0..dim-1 coords, row 3 m.
+      out_t_ref: (B, 4)  Σ_s m_s·u³·Δ      (target accel, Δ = x_s − x_t).
+      out_s_ref: (4, S) −Σ_t m_t·u³·Δ      (source accel contribution).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_s_ref[:] = jnp.zeros_like(out_s_ref)
+
+    pm = pm_ref[:]
+    m_t = pm[:, 3:4]  # (B, 1)
+    s_win = src_t_ref.shape[1]
+    cols_acc = None
+    for u0 in range(0, s_win, s_sub):
+        diffs = []
+        d2 = jnp.float32(soft2)
+        for d in range(dim):
+            diff = src_t_ref[d:d + 1, u0:u0 + s_sub] - pm[:, d:d + 1]
+            diffs.append(diff)  # (B, s_sub)
+            d2 = diff * diff + d2
+        u = jax.lax.rsqrt(d2)
+        u3 = u * u * u
+        if guard:
+            u3 = jnp.where(d2 - soft2 < _DIST2_GUARD, 0.0, u3)
+        m_s = src_t_ref[3:4, u0:u0 + s_sub]  # (1, s_sub)
+        q = [u3 * diffs[d] for d in range(dim)]
+        cols = [jnp.sum(q[d] * m_s, axis=1, keepdims=True)
+                for d in range(dim)]
+        cols_acc = cols if cols_acc is None else [
+            a + c for a, c in zip(cols_acc, cols)]
+        rows = [jnp.sum(q[d] * m_t, axis=0, keepdims=True)
+                for d in range(dim)]
+        rows += [jnp.zeros_like(rows[0])] * (4 - dim)
+        srow = jnp.concatenate(rows, axis=0)  # (4, s_sub)
+        lanes = pl.ds(u0, s_sub)
+        out_s_ref[:, lanes] = out_s_ref[:, lanes] - srow
+    cols_acc += [jnp.zeros_like(cols_acc[0])] * (4 - dim)
+    out_t_ref[:] = jnp.concatenate(cols_acc, axis=1)
+
+
+def pallas_sym_tile(
+    tpos: jax.Array,
+    tmass: jax.Array,
+    spos: jax.Array,
+    smass: jax.Array,
+    softening: float = 0.0,
+    block_t: int = 512,
+    s_sub: int = 2048,
+    guard: bool | None = None,
+    interpret: bool = False,
+):
+    """Newton-3 rectangular tile for DISJOINT body blocks (fp32).
+
+    Returns (acc_t [T, D], part_s [S, D]) in acceleration units — the
+    SymAccelFn engine of the symmetric ppermute ring (parallel/ring.py):
+    acc_t is the usual per-target Σ m_s·Δ/r³ and part_s the sources' share
+    −Σ m_t·Δ/r³, so each unordered cross-chip block pair is swept once.
+    Matches ``brute_force._accel_rows_sym`` to fp rounding.
+    """
+    t, dim = tpos.shape
+    s = spos.shape[0]
+    tpos = tpos.astype(jnp.float32)
+    spos = spos.astype(jnp.float32)
+    if guard is None:
+        guard = float(softening) == 0.0
+    block_t = min(block_t, max(8, t))
+    t_pad = -(-t // block_t) * block_t
+    s_sub = min(s_sub, max(128, s))
+    s_pad = -(-s // s_sub) * s_sub
+
+    pm = jnp.zeros((t_pad, 4), jnp.float32)
+    pm = pm.at[:t, :dim].set(tpos)
+    pm = pm.at[t:, :dim].set(_PAD_POS)
+    pm = pm.at[:t, 3].set(tmass.astype(jnp.float32))
+
+    src_t = jnp.zeros((8, s_pad), jnp.float32)
+    src_t = src_t.at[:dim, :s].set(spos.T)
+    src_t = src_t.at[:dim, s:].set(_PAD_POS)
+    src_t = src_t.at[3, :s].set(smass.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _kernel_sym_tile, dim=dim, soft2=float(softening) ** 2,
+        guard=guard, s_sub=s_sub)
+    out_t, out_s = pl.pallas_call(
+        kernel,
+        grid=(t_pad // block_t,),
+        in_specs=[
+            pl.BlockSpec((block_t, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_t, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, s_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((t_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((4, s_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * dim + 9) * t_pad * s_pad,
+            bytes_accessed=t_pad * 16 + s_pad * 32 * 2,
+            transcendentals=t_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(pm, src_t)
+    return out_t[:t, :dim], out_s[:dim, :s].T
+
+
+def pallas_sym_accel(tpos, tmass, spos, smass, softening):
+    """SymAccelFn-shaped adapter for parallel/ring.py (TPU fast path)."""
+    return pallas_sym_tile(tpos, tmass, spos, smass,
+                           softening=float(softening))
+
+
 def brute_force_pallas(
     positions: jax.Array,
     masses: jax.Array,

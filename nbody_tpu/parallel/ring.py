@@ -9,6 +9,17 @@ steps every chip has accumulated forces from every source shard. No ``psum``
 is needed — targets are disjoint, so accumulation is purely local (the
 "row-wise no-reduction" shape, ``methods.cpp:98-136``, lifted across chips).
 
+**Symmetric (Newton's-3rd-law) mode** — the default — computes each
+unordered *shard pair* once, the cross-chip lift of the reference's
+symmetric i<j update (``methods.cpp:7-42``) and of the single-chip
+round-robin kernel (ops/pallas_brute._kernel_symmetric): ⌈(P−1)/2⌉
+forward rotations evaluate pair (b, b−s) on chip b with a two-output tile
+(local target rows + the partner's Newton-3 share), and a second rotation
+pass carries the accumulated partials back to their owners. For even P
+the s = P/2 step would double-count, so only chips b < P/2 evaluate it.
+Arithmetic halves vs the one-sided ring (P tiles → P/2 + self); ICI bytes
+stay ≈ equal (P one-way shard hops → 2·(P/2) hops of shards/partials).
+
 Memory per chip is O(N/P); ICI traffic per step is one shard (N/P bodies),
 fully overlappable with the O((N/P)²) local tile compute.
 """
@@ -16,19 +27,26 @@ fully overlappable with the O((N/P)²) local tile compute.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import DEFAULT_GRAVITY, GravityConfig
-from ..ops.brute_force import _accel_rows
+from ..ops.brute_force import _accel_rows, _accel_rows_sym
 from .mesh import BODY_AXIS, pad_to_multiple
 
 # local_accel(targets_pos [T,D], src_pos [S,D], src_mass [S], softening)
 #   -> un-G-scaled acceleration contributions [T, D]
 LocalAccelFn = Callable[[jax.Array, jax.Array, jax.Array, float], jax.Array]
+
+# sym_accel(t_pos [T,D], t_mass [T], src_pos [S,D], src_mass [S], softening)
+#   -> (acc_t [T,D], part_s [S,D]): target rows + the sources' Newton-3
+#   share from the same pair sweep (see brute_force._accel_rows_sym).
+SymAccelFn = Callable[
+    [jax.Array, jax.Array, jax.Array, jax.Array, float],
+    Tuple[jax.Array, jax.Array]]
 
 _PAD_POS = 2.0e9
 
@@ -51,6 +69,56 @@ def _ring_local(pos_l, mass_l, *, axis_name, num_shards, softening,
     return acc
 
 
+def _ring_local_symmetric(pos_l, mass_l, *, axis_name, num_shards,
+                          softening, sym_accel: SymAccelFn,
+                          local_accel: LocalAccelFn):
+    """Newton-3 ring body: each unordered shard pair computed once.
+
+    Forward pass, step s = 1..⌈(P−1)/2⌉: the source shard rotates one hop
+    (chip b then holds block b−s); one symmetric tile yields this chip's
+    target rows AND the resident block's Newton-3 share, which is stacked
+    for the return pass. Even P: the s = P/2 step pairs (b, b−P/2) twice
+    around the ring, so only chips b < P/2 evaluate it (the masked-out
+    chips' targets are covered by the partner's returned partial).
+
+    Return pass: partials are added in DESCENDING s order with one reverse
+    hop after each add, so p_s has traveled exactly s hops when the scan
+    ends — chip c receives Σ_s p_s(c+s), its missing pair halves.
+    """
+    P_ = num_shards
+    acc = local_accel(pos_l, pos_l, mass_l, softening)  # self block
+    s_total = P_ // 2 if P_ % 2 == 0 else (P_ - 1) // 2
+    if s_total == 0:
+        return acc
+    perm_fwd = [(i, (i + 1) % P_) for i in range(P_)]
+    perm_ret = [(i, (i - 1) % P_) for i in range(P_)]
+    me = jax.lax.axis_index(axis_name).astype(jnp.int32)
+
+    def fwd(carry, s):
+        src_pos, src_mass, acc = carry
+        src_pos = jax.lax.ppermute(src_pos, axis_name, perm_fwd)
+        src_mass = jax.lax.ppermute(src_mass, axis_name, perm_fwd)
+        acc_t, part = sym_accel(pos_l, mass_l, src_pos, src_mass,
+                                softening)
+        if P_ % 2 == 0:
+            keep = jnp.where(s == P_ // 2, me < P_ // 2, True)
+            acc_t = jnp.where(keep, acc_t, 0.0)
+            part = jnp.where(keep, part, 0.0)
+        return (src_pos, src_mass, acc + acc_t), part
+
+    (_, _, acc), parts = jax.lax.scan(
+        fwd, (pos_l, mass_l, acc),
+        jnp.arange(1, s_total + 1, dtype=jnp.int32))
+
+    def ret(ret_acc, part):
+        ret_acc = ret_acc + part
+        return jax.lax.ppermute(ret_acc, axis_name, perm_ret), None
+
+    ret_acc, _ = jax.lax.scan(ret, jnp.zeros_like(pos_l), parts,
+                              reverse=True)
+    return acc + ret_acc
+
+
 def ring_brute_force(
     positions: jax.Array,
     masses: jax.Array,
@@ -58,22 +126,37 @@ def ring_brute_force(
     mesh: Optional[Mesh] = None,
     axis_name: str = BODY_AXIS,
     local_accel: Optional[LocalAccelFn] = None,
+    symmetric: Optional[bool] = None,
+    sym_accel: Optional[SymAccelFn] = None,
 ) -> jax.Array:
     """Per-body forces [N, D] computed over every device in ``mesh``.
 
     ``local_accel`` is the pluggable per-chip tile engine; by default the
     Pallas rectangular kernel on TPU (ops/pallas_brute.py) and the jnp row
     path elsewhere.
+
+    ``symmetric`` (default: on, unless a custom one-sided ``local_accel``
+    is supplied without a matching ``sym_accel``) computes each unordered
+    shard pair once with a two-output Newton-3 tile — half the arithmetic
+    of the one-sided ring at equal ICI bytes (module docstring).
     """
     if mesh is None:
         from .mesh import make_mesh
         mesh = make_mesh(axis_name=axis_name)
+    if symmetric is None:
+        symmetric = local_accel is None or sym_accel is not None
     if local_accel is None:
         if jax.default_backend() == "tpu":
             from ..ops.pallas_brute import pallas_local_accel
             local_accel = pallas_local_accel
         else:
             local_accel = _accel_rows
+    if symmetric and sym_accel is None:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_brute import pallas_sym_accel
+            sym_accel = pallas_sym_accel
+        else:
+            sym_accel = _accel_rows_sym
     num_shards = mesh.shape[axis_name]
     n, d = positions.shape
 
@@ -96,10 +179,17 @@ def ring_brute_force(
         check_vma=False,
     )
     def sharded(pos_l, mass_l):
-        acc = _ring_local(
-            pos_l, mass_l,
-            axis_name=axis_name, num_shards=num_shards,
-            softening=config.softening, local_accel=local_accel)
+        if symmetric:
+            acc = _ring_local_symmetric(
+                pos_l, mass_l,
+                axis_name=axis_name, num_shards=num_shards,
+                softening=config.softening, sym_accel=sym_accel,
+                local_accel=local_accel)
+        else:
+            acc = _ring_local(
+                pos_l, mass_l,
+                axis_name=axis_name, num_shards=num_shards,
+                softening=config.softening, local_accel=local_accel)
         g = jnp.asarray(config.G, acc.dtype)
         return (g * mass_l)[:, None] * acc
 

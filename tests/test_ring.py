@@ -27,15 +27,91 @@ def test_ring_matches_direct(rng_key, dim, n):
 
 
 def test_ring_on_mesh_subset(rng_key):
-    # 2- and 4-device meshes (ring length != device count edge cases).
+    # 2/4-device meshes (even P: the masked half-step) and 3 (odd P) —
+    # the default symmetric ring must cover every pair exactly once on all.
     sys = random_system(rng_key, 128, dim=3, dtype=jnp.float64)
     cfg = GravityConfig()
     want = brute_force_direct(sys.positions, sys.masses, cfg)
-    for k in (2, 4):
+    for k in (2, 3, 4):
         mesh = make_mesh(jax.devices()[:k])
         got = ring_brute_force(sys.positions, sys.masses, cfg, mesh=mesh)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-8)
+
+
+@pytest.mark.parametrize("n", [256, 300])
+def test_ring_one_sided_matches_direct(rng_key, dim, n):
+    """The one-sided (P rotations) ring stays available and correct."""
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = ring_brute_force(sys.positions, sys.masses, cfg, mesh=make_mesh(),
+                           symmetric=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-8)
+
+
+def test_ring_symmetric_with_softening(rng_key):
+    """Symmetric ring under Plummer softening (guard-off path)."""
+    sys = random_system(rng_key, 256, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig(softening=1e5)
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = ring_brute_force(sys.positions, sys.masses, cfg, mesh=make_mesh())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-8)
+
+
+def test_accel_rows_sym_consistency(rng_key):
+    """The two outputs of the Newton-3 tile are the transposed one-sided
+    evaluations of the same pair set (f64)."""
+    from nbody_tpu.ops.brute_force import _accel_rows, _accel_rows_sym
+    sys = random_system(rng_key, 96, dim=3, dtype=jnp.float64)
+    t_pos, s_pos = sys.positions[:32], sys.positions[32:]
+    t_m, s_m = sys.masses[:32], sys.masses[32:]
+    acc_t, part_s = _accel_rows_sym(t_pos, t_m, s_pos, s_m, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(acc_t), np.asarray(_accel_rows(t_pos, s_pos, s_m, 0.0)),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(part_s), np.asarray(_accel_rows(s_pos, t_pos, t_m, 0.0)),
+        rtol=1e-12)
+
+
+def test_pallas_sym_tile_interpret(rng_key):
+    """The Pallas Newton-3 rectangular tile (interpret mode) matches the
+    jnp symmetric engine on both outputs, incl. padded shapes."""
+    from nbody_tpu.ops.brute_force import _accel_rows_sym
+    from nbody_tpu.ops.pallas_brute import pallas_sym_tile
+    sys = random_system(rng_key, 300, dim=2, dtype=jnp.float32)
+    t_pos, s_pos = sys.positions[:100], sys.positions[100:]
+    t_m, s_m = sys.masses[:100], sys.masses[100:]
+    want_t, want_s = _accel_rows_sym(t_pos, t_m, s_pos, s_m, 0.0)
+    got_t, got_s = pallas_sym_tile(t_pos, t_m, s_pos, s_m, softening=0.0,
+                                   block_t=64, s_sub=128, interpret=True)
+    # Scale-based atol: near-cancelling components make per-element rtol
+    # harsh under f32 sub-tile reordering (same argument as the project's
+    # scale_normalized_error metric).
+    for got, want in ((got_t, want_t), (got_s, want_s)):
+        scale = float(np.abs(np.asarray(want)).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5 * scale)
+
+
+def test_ring_symmetric_with_pallas_sym_engine(rng_key):
+    """End-to-end symmetric ring with the Pallas sym tile (interpret) as
+    the engine on the 8-device CPU mesh."""
+    import functools
+    from nbody_tpu.ops.pallas_brute import pallas_sym_tile
+    sys = random_system(rng_key, 256, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    eng = functools.partial(pallas_sym_tile, block_t=16, s_sub=128,
+                            interpret=True)
+    got = ring_brute_force(
+        sys.positions, sys.masses, cfg, mesh=make_mesh(),
+        symmetric=True,
+        sym_accel=lambda tp, tm, sp, sm, soft: eng(tp, tm, sp, sm,
+                                                   softening=soft))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-25)
 
 
 def test_ring_output_stays_sharded(rng_key):
