@@ -8,15 +8,36 @@ than the reference).
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 BASELINE_MS = 8640.0  # reference BruteForce_CUDA N=1e6 2D (BASELINE.md)
 N = 1_048_576
 DIM = 2
 
+# The tunneled TPU backend can HANG indefinitely at first touch when the
+# relay daemon has died (observed round 2: jax.default_backend() never
+# returns; the daemon cannot be restarted from inside the sandbox). The
+# driver contract is ONE JSON line — a hang yields nothing at all, so a
+# watchdog prints the error line and hard-exits instead. 25 min leaves
+# room for a legitimate cold remote compile (minutes; the persistent
+# cache makes warm rounds fast).
+WATCHDOG_S = 1500.0
+
+
+def _watchdog():
+    print(json.dumps({"metric": "error_timeout_backend_unreachable",
+                      "value": -1.0, "unit": "ms", "vs_baseline": 0.0}),
+          flush=True)
+    os._exit(1)
+
 
 def main():
+    timer = threading.Timer(WATCHDOG_S, _watchdog)
+    timer.daemon = True
+    timer.start()
     import jax
     import jax.numpy as jnp
     import nbody_tpu as nb
@@ -53,6 +74,7 @@ def main():
                           "unit": "ms", "vs_baseline": 0.0}))
         sys.exit(1)
 
+    timer.cancel()
     print(json.dumps({
         "metric": f"brute_force_N{n}_{DIM}D_fp32_step_time"
                   + ("" if on_tpu else "_cpu_fallback"),
