@@ -105,9 +105,14 @@ def _delta(keys, idx, i, j, n, total_bits):
     return jnp.where(valid, d, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("key_bits", "quad"))
+@functools.partial(jax.jit,
+                   static_argnames=("key_bits", "quad", "varying_axis"))
 def build_bvh(positions: jax.Array, masses: jax.Array,
-              key_bits: int, quad: bool = False) -> BVHTree:
+              key_bits: int, quad: bool = False,
+              varying_axis: Optional[str] = None) -> BVHTree:
+    """``varying_axis``: shard_map axis name when building per-chip trees
+    inside a per-shard program (parallel/let_bvh.py) — loop-carry
+    constants of the quad combine are pcast to that axis."""
     n, dim = positions.shape
     keys = hilbert_key(positions, bits=key_bits // dim)
     # Left-align keys so clz of the XOR measures the true common prefix.
@@ -249,6 +254,13 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
         mass0 = node_mass.at[n - 1:].set(mass_s)
         com0 = node_com.at[n - 1:].set(pos_s)
         ready0 = jnp.arange(num_nodes, dtype=jnp.int32) >= (n - 1)
+        it0 = jnp.int32(0)
+        if varying_axis is not None:
+            # Constant carries entering a while_loop whose other carries
+            # are device-varying (per-shard trees under shard_map).
+            S0, ready0, it0 = (
+                jax.lax.pcast(x, varying_axis, to="varying")
+                for x in (S0, ready0, it0))
 
         def _combine_round(state):
             it, S, m_bu, com_bu, ready = state
@@ -279,7 +291,7 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
 
         _, node_quad, node_mass, node_com, _ = jax.lax.while_loop(
             _not_done, _combine_round,
-            (jnp.int32(0), S0, mass0, com0, ready0))
+            (it0, S0, mass0, com0, ready0))
 
     # Packed hot-path tables (see BVHTree docstring). The table dtype
     # follows the input so f64 oracle runs stay exact; in f32, node ids up
@@ -321,7 +333,7 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     static_argnames=("leaf_size", "theta", "softening", "group_size",
                      "batch", "frontier_width", "near_cap", "shard_axis",
                      "num_shards", "return_stats", "multipole", "far_impl",
-                     "local_gate"))
+                     "local_gate", "varying_axis"))
 def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      softening: float = 0.0, group_size: int = 64,
                      batch: int = 128,
@@ -333,8 +345,20 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      multipole: str = "mono",
                      far_impl: str = "point",
                      local_gate: float = 8.0,
-                     group_ids: Optional[jax.Array] = None) -> jax.Array:
+                     group_ids: Optional[jax.Array] = None,
+                     source: Optional[tuple] = None,
+                     varying_axis: Optional[str] = None) -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
+
+    ``source`` (optional ``(node_table, body_table)`` pair) evaluates the
+    walk against a *different* tree than the one providing the target
+    groups — the cross-tree step of the body-sharded LET distribution
+    (parallel/let_bvh.py): my groups traverse a foreign chip's tree as it
+    rotates past on the ring. The source tree must share ``tree``'s
+    ``key_bits``. ``varying_axis`` names the shard_map axis when this runs
+    *inside* a per-shard program (device-varying inputs): loop-carry
+    constants are pcast to that axis without engaging the replicated-tree
+    ``shard_axis`` group-slicing/psum path.
 
     ``group_ids`` ([M] int32, incompatible with ``shard_axis``) restricts
     the walk to those body groups and returns [M·group_size, D] rows in
@@ -387,7 +411,10 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     dtype = tree.pos_sorted.dtype
     soft2 = jnp.asarray(softening, dtype) ** 2
     qpairs = _quad_pairs(dim)
-    if multipole == "quad" and tree.node_table.shape[-1] < 6 + dim + len(
+    src_table, src_bodies = (tree.node_table, tree.body_table) \
+        if source is None else source
+    n_src = src_bodies.shape[0]
+    if multipole == "quad" and src_table.shape[-1] < 6 + dim + len(
             qpairs):
         raise ValueError("multipole='quad' needs a tree built with "
                          "build_bvh(..., quad=True)")
@@ -411,7 +438,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     nl_chunk = min(NL, max(1, 2048 // S))
     NL = -(-NL // nl_chunk) * nl_chunk
     # Depth bound: key bits + index-tiebreak bits (duplicate keys).
-    max_depth = tree.key_bits + max(1, math.ceil(math.log2(max(n, 2)))) + 2
+    max_depth = tree.key_bits + max(
+        1, math.ceil(math.log2(max(n_src, 2)))) + 2
 
     G = group_size
     ngroups = -(-n // G)
@@ -428,12 +456,13 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
     gcenter = 0.5 * (gmin + gmax)
     gradius = 0.5 * jnp.linalg.norm(gmax - gmin, axis=-1)
 
-    root = jnp.int32(0 if n > 1 else n - 1)
+    root = jnp.int32(0 if n_src > 1 else n_src - 1)
 
     Wc = min(W, 256)  # frontier chunk (empty chunks cond-skipped)
     W = -(-W // Wc) * Wc  # round capacity up to whole chunks
     nWc = W // Wc
-    table = tree.node_table
+    table = src_table
+    pcast_axis = shard_axis if shard_axis is not None else varying_axis
     use_local = far_impl == "local"
     if use_local:
         from .local_expansion import eval_local, local_coeffs, num_coeffs
@@ -583,11 +612,11 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 it, f, acc, near_ids, near_cnt, overflow, maxw = state
             kids_buf = jnp.full((B, 2 * W), _INVALID, jnp.int32)
             leaf_buf = jnp.full((B, W), _INVALID, jnp.int32)
-            if shard_axis is not None:
+            if pcast_axis is not None:
                 # Both buffers receive shard-varying data inside a lax.cond
                 # branch; the skip branch must carry the same varying type.
-                kids_buf = jax.lax.pcast(kids_buf, shard_axis, to="varying")
-                leaf_buf = jax.lax.pcast(leaf_buf, shard_axis, to="varying")
+                kids_buf = jax.lax.pcast(kids_buf, pcast_axis, to="varying")
+                leaf_buf = jax.lax.pcast(leaf_buf, pcast_axis, to="varying")
             if use_local:
                 (_, acc, kids_buf, leaf_buf, la0, lJ, lH) = \
                     jax.lax.fori_loop(
@@ -624,11 +653,11 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
         of0 = jnp.zeros((B,), bool)
         maxw0 = jnp.zeros((B,), jnp.int32)
         it0 = jnp.int32(0)
-        if shard_axis is not None:
+        if pcast_axis is not None:
             # Carries derive from per-shard group data; mark the constant
             # inits device-varying for shard_map's typing.
             f0, near0, cnt0, of0, maxw0, it0 = (
-                jax.lax.pcast(x, shard_axis, to="varying")
+                jax.lax.pcast(x, pcast_axis, to="varying")
                 for x in (f0, near0, cnt0, of0, maxw0, it0))
         state0 = (it0, f0, acc0, near0, cnt0, of0, maxw0)
         if use_local:
@@ -665,11 +694,11 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                 nt = table[idc]  # [B, NLc, width]
                 l = nt[..., 0].astype(jnp.int32)
                 r = nt[..., 1].astype(jnp.int32)
-                start = jnp.minimum(l, n - S)
+                start = jnp.minimum(l, n_src - S)
                 idx = start[:, :, None] + arangeS  # [B, NLc, S]
                 in_rng = (idx >= l[:, :, None]) & (idx <= r[:, :, None]) \
                     & nvalid[:, :, None]
-                bt = tree.body_table[idx]  # [B, NLc, S, 4] — one gather
+                bt = src_bodies[idx]  # [B, NLc, S, 4] — one gather
                 spos = bt[..., :dim].reshape(B, -1, dim)
                 smass = (bt[..., 3] * in_rng).reshape(B, -1)
                 d2 = None

@@ -12,6 +12,7 @@ Two distribution schemes per tree tier:
   (O(N/P) per-chip body memory; the BASELINE.json north-star design).
 """
 
+from .let_bvh import let_bvh  # noqa: F401
 from .let_tree import let_barnes_hut, let_fmm  # noqa: F401
 from .mesh import BODY_AXIS, make_mesh, shard_bodies  # noqa: F401
 from .ring import ring_brute_force  # noqa: F401

@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
