@@ -892,7 +892,7 @@ def barnes_hut_grid(
     p2p_impl: str = "auto",
     multipole: str = "quad",
     layout: str = "auto",
-    far_impl: str = "point",
+    far_impl: str = "local",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248).
 

@@ -282,7 +282,7 @@ def barnes_hut_sparse(
     window: int = 8,
     chunk_batch: int = 128,
     multipole: str = "quad",
-    far_impl: str = "point",
+    far_impl: str = "local",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] on the sparse (clustered-input) grid path.
 

@@ -630,7 +630,7 @@ def let_barnes_hut(
     halo_cap: Optional[int] = None,
     leaf_batch: int = 512,
     multipole: str = "quad",
-    far_impl: str = "point",
+    far_impl: str = "local",
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] with body-sharded LET distribution.
 

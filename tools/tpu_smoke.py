@@ -94,8 +94,10 @@ def main() -> int:
                    help="60%%-core clustered input: gates the sparse grid "
                         "fallback and the BVH escalation path")
     p.add_argument("--local-far", action="store_true",
-                   help="also gate the far_impl='local' (cell→cell Taylor) "
-                        "variants of the BH grid and BVH tiers")
+                   help="also gate the non-default far_impl variants of "
+                        "the BH grid and BVH tiers (grid defaults to "
+                        "'local' since round 2, BVH to 'point' — this "
+                        "adds the opposite of each)")
     args = p.parse_args()
 
     cfg = nb.GravityConfig()
@@ -118,15 +120,18 @@ def main() -> int:
         # The local-expansion far field shares each tier's error budget:
         # the Taylor truncation is gated below the multipole truncation
         # (ops/local_expansion.py), so a budget miss means a real bug.
+        # Grid BH defaults to far_impl="local" (measured faster 3D, equal
+        # 2D on-chip), BVH to "point" (measured neutral) — gate the
+        # non-default impl of each so both code paths stay covered.
         from nbody_tpu.ops.bvh import bvh_forces
         from nbody_tpu.ops.grid_tree import barnes_hut_grid
         checks += [
-            ("BarnesHut_Grid+local", lambda: barnes_hut_grid(
+            ("BarnesHut_Grid+point", lambda: barnes_hut_grid(
                 system.positions, system.masses, cfg, theta=cfg.theta,
-                far_impl="local")),
-            ("BarnesHut_Grid_Theta05+local", lambda: barnes_hut_grid(
+                far_impl="point")),
+            ("BarnesHut_Grid_Theta05+point", lambda: barnes_hut_grid(
                 system.positions, system.masses, cfg, theta=0.5,
-                far_impl="local")),
+                far_impl="point")),
             ("BVH_Radix+local", lambda: bvh_forces(
                 system.positions, system.masses, cfg, far_impl="local")),
         ]
@@ -140,7 +145,8 @@ def main() -> int:
             print(f"  {name:<28} ERROR {type(e).__name__}: {e}")
             failed.append(name)
             continue
-        b = budget_for(name.replace("+local", ""), args.dim, args.clustered)
+        base_name = name.replace("+local", "").replace("+point", "")
+        b = budget_for(base_name, args.dim, args.clustered)
         ok = err <= b
         print(f"  {name:<28} err={err:.3e}  budget={b:.0e}  "
               f"{'OK' if ok else 'FAIL'}")
