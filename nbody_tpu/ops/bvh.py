@@ -111,8 +111,10 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
               key_bits: int, quad: bool = False,
               varying_axis: Optional[str] = None) -> BVHTree:
     """``varying_axis``: shard_map axis name when building per-chip trees
-    inside a per-shard program (parallel/let_bvh.py) — loop-carry
-    constants of the quad combine are pcast to that axis."""
+    inside a per-shard program (parallel/let_bvh.py). Accepted for that
+    call site's benefit but currently unused — the quad combine is a
+    fully unrolled segment-tree pass with no while_loop carries, so
+    nothing needs a pcast."""
     n, dim = positions.shape
     keys = hilbert_key(positions, bits=key_bits // dim)
     # Left-align keys so clz of the XOR measures the true common prefix.
@@ -222,76 +224,97 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     # COM-centered second moments for the quadrupole far field. Raw
     # prefix sums of m·x_a·x_b from the global origin cancel catastrophically
     # in f32 at the reference's 1e7-scale coordinates (S/M2 ~ (extent/|x|)²
-    # can be < 1e-6), so S is combined bottom-up with the parallel-axis
-    # identity S_v = Σ_c [S_c + m_c·(com_c−com_v)(com_c−com_v)ᵀ] — centered
-    # quantities only. The Karras tree has no level structure, so the
-    # combine runs as a bounded relaxation: each round resolves every node
-    # whose two children are ready (leaves start ready), finishing in
-    # ≤ tree-depth rounds with two [2N-1]-row gathers per round.
-    #
-    # Mass and COM are rebuilt in the SAME relaxation (pairwise tree
-    # summation) rather than taken from the prefix-sum differences above:
-    # at N≥1e5 the m·x cumsum reaches ~1e12-scale magnitudes, so a small
-    # node's difference carries an absolute error that can rival its own
-    # extent. The monopole tolerates that COM jitter (relative force error
-    # ~ δ/r), but the parallel-axis combine does not — com_v must be the
-    # exact weighted mean of its children's COMs or each child term leaks
-    # an m_c·(d·δ) error of the same order as S itself (measured: BVH-quad
+    # can be < 1e-6), so S must be accumulated from centered quantities
+    # only, and mass/COM must be self-consistent with it: at N≥1e5 the m·x
+    # cumsum reaches ~1e12-scale magnitudes, so a small node's prefix-sum
+    # difference carries an absolute COM error that can rival its own
+    # extent. The monopole tolerates that jitter (relative force error
+    # ~ δ/r), but the parallel-axis combine does not (measured: BVH-quad
     # NormError 1.6e-3 vs mono 6.5e-5 at N=2e5 2D; reference Accuracy(%)
-    # 68.7%). Pairwise bottom-up sums have O(log N · eps) error and make
-    # mass/COM/S self-consistent, matching the grid tree's windowed-local
-    # build (grid_tree.reduce_levels) that never showed the problem.
+    # 68.7%).
+    #
+    # Implementation: a segment tree of aligned power-of-two blocks over
+    # the sorted bodies. Level k is built from level k−1 by a CONTIGUOUS
+    # pairwise parallel-axis combine (reshape, no gathers — the same
+    # windowed-local pattern as grid_tree.reduce_levels, O(log N · eps)
+    # error). Every Karras node covers a contiguous range [l, r], which
+    # the standard iterative segment-tree query covers with ≤ 2 aligned
+    # blocks per level; each node accumulates its ≤ 2(K+1) blocks about a
+    # provisional center inside its own AABB (its first body), then
+    # recenters once to the exact COM — all arithmetic stays at node
+    # scale. This replaces the previous bottom-up readiness relaxation
+    # (~tree-depth sequential rounds of [2N−1]-row gathers, the dominant
+    # build cost: 717 ms of the 991 ms quad build at N=2e5 2D on v5e) with
+    # K+1 data-independent masked gather rounds (~30 ms at that size; row
+    # gathers cost ~7-8 ns/row regardless of width, so (m, com, S) are
+    # packed into one row and each block is ONE gather).
     node_quad = None
     if quad:
         qpairs = _quad_pairs(dim)
         nq = len(qpairs)
-        depth_bound = key_bits + max(1, math.ceil(
-            math.log2(max(n, 2)))) + 2
-        S0 = jnp.zeros((num_nodes, nq), pos_s.dtype)
-        # Leaves ready with exact single-body stats; internal rows start
-        # from the prefix-sum values but are only ever read after being
-        # overwritten (children must be ready).
-        mass0 = node_mass.at[n - 1:].set(mass_s)
-        com0 = node_com.at[n - 1:].set(pos_s)
-        ready0 = jnp.arange(num_nodes, dtype=jnp.int32) >= (n - 1)
-        it0 = jnp.int32(0)
-        if varying_axis is not None:
-            # Constant carries entering a while_loop whose other carries
-            # are device-varying (per-shard trees under shard_map).
-            S0, ready0, it0 = (
-                jax.lax.pcast(x, varying_axis, to="varying")
-                for x in (S0, ready0, it0))
+        dt = pos_s.dtype
+        K = max(1, math.ceil(math.log2(max(n, 2))))
+        P = 1 << K
+        pad = P - n
 
-        def _combine_round(state):
-            it, S, m_bu, com_bu, ready = state
-            can = (~ready) & ready[left] & ready[right_all]
-            m_new = m_bu[left] + m_bu[right_all]
-            mx_new = (m_bu[left][:, None] * com_bu[left]
-                      + m_bu[right_all][:, None] * com_bu[right_all])
-            com_new = jnp.where(
-                (m_new > 0)[:, None],
-                mx_new / jnp.maximum(m_new, 1e-30)[:, None],
-                com_bu[left])
+        def _dd(d):
+            return jnp.stack([d[..., a] * d[..., b] for a, b in qpairs],
+                             axis=-1)
 
-            def child_term(cid):
-                d = com_bu[cid] - com_new  # [2N-1, D]
-                dd = jnp.stack([d[:, a] * d[:, b] for a, b in qpairs],
-                               axis=-1)
-                return S[cid] + m_bu[cid][:, None] * dd
+        # Level build: packed rows [m, com(D), S(nq)].
+        m_k = jnp.concatenate([mass_s, jnp.zeros((pad,), dt)])
+        c_k = jnp.concatenate(
+            [pos_s, jnp.broadcast_to(pos_s[-1:], (max(pad, 0), dim))])
+        S_k = jnp.zeros((P, nq), dt)
+        tabs = [jnp.concatenate([m_k[:, None], c_k, S_k], axis=-1)]
+        for _ in range(K):
+            mp = m_k.reshape(-1, 2)
+            cp = c_k.reshape(-1, 2, dim)
+            Sp = S_k.reshape(-1, 2, nq)
+            m_k = mp[:, 0] + mp[:, 1]
+            mx = mp[:, 0, None] * cp[:, 0] + mp[:, 1, None] * cp[:, 1]
+            c_k = jnp.where((m_k > 0)[:, None],
+                            mx / jnp.maximum(m_k, 1e-30)[:, None],
+                            cp[:, 0])
+            S_k = (Sp[:, 0] + mp[:, 0, None] * _dd(cp[:, 0] - c_k)
+                   + Sp[:, 1] + mp[:, 1, None] * _dd(cp[:, 1] - c_k))
+            tabs.append(
+                jnp.concatenate([m_k[:, None], c_k, S_k], axis=-1))
+        offs = np.cumsum([0] + [t.shape[0] for t in tabs])[:-1]
+        tab = jnp.concatenate(tabs, axis=0)  # [2P-1, 1+D+nq]
 
-            S_new = child_term(left) + child_term(right_all)
-            S = jnp.where(can[:, None], S_new, S)
-            m_bu = jnp.where(can, m_new, m_bu)
-            com_bu = jnp.where(can[:, None], com_new, com_bu)
-            return it + 1, S, m_bu, com_bu, ready | can
+        # Iterative segment-tree cover of [l, r+1) per internal node,
+        # accumulated about the node's first body position.
+        c_ref = pos_s[lo]                     # [n-1, D], inside node AABB
+        M = jnp.zeros((n - 1,), dt)
+        Pm = jnp.zeros((n - 1, dim), dt)
+        Sa = jnp.zeros((n - 1, nq), dt)
+        lo_k, hi_k = lo, hi + 1
+        for k in range(K + 1):
+            c1 = (lo_k < hi_k) & ((lo_k & 1) == 1)
+            i1 = offs[k] + lo_k
+            lo_k = lo_k + c1.astype(lo_k.dtype)
+            c2 = (lo_k < hi_k) & ((hi_k & 1) == 1)
+            hi_k = hi_k - c2.astype(hi_k.dtype)
+            i2 = offs[k] + hi_k
+            for cond, ib in ((c1, i1), (c2, i2)):
+                row = tab[jnp.clip(ib, 0, tab.shape[0] - 1)]
+                mb = jnp.where(cond, row[:, 0], 0.0)
+                d = jnp.where(cond[:, None], row[:, 1:1 + dim] - c_ref,
+                              0.0)
+                M = M + mb
+                Pm = Pm + mb[:, None] * d
+                Sa = (Sa + jnp.where(cond[:, None], row[:, 1 + dim:], 0.0)
+                      + mb[:, None] * _dd(d))
+            lo_k = lo_k >> 1
+            hi_k = hi_k >> 1
 
-        def _not_done(state):
-            it, _, _, _, ready = state
-            return (it < depth_bound) & jnp.any(~ready)
-
-        _, node_quad, node_mass, node_com, _ = jax.lax.while_loop(
-            _not_done, _combine_round,
-            (it0, S0, mass0, com0, ready0))
+        dcom = Pm / jnp.maximum(M, 1e-30)[:, None]
+        com_int = jnp.where((M > 0)[:, None], c_ref + dcom, c_ref)
+        S_int = Sa - M[:, None] * _dd(dcom)
+        node_mass = jnp.concatenate([M, mass_s])
+        node_com = jnp.concatenate([com_int, pos_s])
+        node_quad = jnp.concatenate([S_int, jnp.zeros((n, nq), dt)])
 
     # Packed hot-path tables (see BVHTree docstring). The table dtype
     # follows the input so f64 oracle runs stay exact; in f32, node ids up
@@ -333,7 +356,7 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
     static_argnames=("leaf_size", "theta", "softening", "group_size",
                      "batch", "frontier_width", "near_cap", "shard_axis",
                      "num_shards", "return_stats", "multipole", "far_impl",
-                     "local_gate", "varying_axis"))
+                     "local_gate", "varying_axis", "_debug_skip"))
 def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      softening: float = 0.0, group_size: int = 64,
                      batch: int = 128,
@@ -347,7 +370,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                      local_gate: float = 8.0,
                      group_ids: Optional[jax.Array] = None,
                      source: Optional[tuple] = None,
-                     varying_axis: Optional[str] = None) -> jax.Array:
+                     varying_axis: Optional[str] = None,
+                     _debug_skip: str = "") -> jax.Array:
     """Accelerations on every sorted body (un-G-scaled): [N, D].
 
     ``source`` (optional ``(node_table, body_table)`` pair) evaluates the
@@ -531,7 +555,9 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
                     fd2 = fd * fd if fd2 is None else fd2 + fd * fd
                 finv = jax.lax.rsqrt(fd2 + soft2)
                 mask = mac_inline[:, None, :]
-                if multipole == "quad":
+                if "far" in _debug_skip:
+                    acc2 = acc  # ablation: walk without inline far eval
+                elif multipole == "quad":
                     Sq = nt[..., 6 + dim:6 + dim + len(qpairs)]
                     # Coincident guard (same as _quad_cell_accel): a leaf
                     # node's COM can equal a group body's position exactly
@@ -717,7 +743,8 @@ def bvh_accel_sorted(tree: BVHTree, leaf_size: int = 16, theta: float = 0.25,
             return jax.lax.cond(
                 jnp.any(ids_c[:, 0] != _INVALID), do, lambda a: a, acc)
 
-        acc = jax.lax.fori_loop(0, nchunks, near_chunk, acc)
+        if "near" not in _debug_skip:
+            acc = jax.lax.fori_loop(0, nchunks, near_chunk, acc)
 
         # Explicit overflow signal: poison affected groups with NaN.
         acc = jnp.where(overflow[:, None, None],
@@ -860,9 +887,15 @@ def bvh_forces(
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     if group_size is None:
-        # Larger groups amortize the frontier walk across more bodies;
-        # 3D frontiers are ~theta^-3 wide so they benefit most.
-        group_size = 128 if dim == 2 else 256
+        # Larger groups amortize the frontier walk across more bodies.
+        # Measured on v5e at theta=0.25 (round 2, post segment-tree
+        # build), end-to-end bvh_forces: 2D 1e5: 456 (G=128) / 274
+        # (G=512) / 228 ms (G=1024); 3D 1e5: 634 (G=256) / 519 (G=512) /
+        # 361 ms (G=1024); 3D 1e6: 8.18 s (G=256) -> 5.61 s (G=1024).
+        # G=2048 is flat at 1e5 but REGRESSES 1e6 2D 2x (5.3 s vs 2.8 s
+        # at G=1024) - bigger group AABBs push far cells into the near
+        # field quadratically once groups span many leaves.
+        group_size = 1024
     key_bits = dim * MAX_BITS[dim]
     g = jnp.asarray(config.G, positions.dtype)
     G = min(group_size, max(1, n))
@@ -886,7 +919,9 @@ def bvh_forces(
         group_size=G, batch=batch,
         frontier_width=w, near_cap=nl, multipole=multipole,
         far_impl=far_impl, local_gate=local_gate)
-    need_w, need_nl = int(maxw), int(ncnt)
+    # One device->host transfer for both stats: each int() is a separate
+    # ~50 ms relay round trip, a measurable share of small-N calls.
+    need_w, need_nl = (int(v) for v in np.asarray(jnp.stack([maxw, ncnt])))
     if (need_w <= chunked(w) and need_nl <= nl_chunked(nl)) \
             or max_escalations == 0:
         return forces
@@ -920,7 +955,8 @@ def bvh_forces(
             frontier_width=w2, near_cap=nl2, return_stats=True,
             multipole=multipole, far_impl=far_impl, local_gate=local_gate,
             group_ids=jnp.asarray(ids_p, jnp.int32))
-        need_w, need_nl = int(maxw2), int(ncnt2)
+        need_w, need_nl = (
+            int(v) for v in np.asarray(jnp.stack([maxw2, ncnt2])))
         if (need_w <= chunked(w2) and need_nl <= nl_chunked(nl2)) \
                 or (chunked(w2) >= 2 * n and nl2 >= 2 * n):
             break

@@ -150,7 +150,9 @@ def let_bvh(
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     if group_size is None:
-        group_size = 128 if dim == 2 else 256
+        # Same default as bvh_forces (measured on v5e round 2: G=1024
+        # beats 128/256 at every uniform size probed in both dims).
+        group_size = 1024
     # Exchange granularity: >=64 owner cells per chip for load balance,
     # with the level-L cell count divisible by the shard count so chip
     # chunks tile the grid exactly.

@@ -157,7 +157,9 @@ def bvh_sharded(
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     if group_size is None:
-        group_size = 128 if dim == 2 else 256
+        # Same default as bvh_forces (measured on v5e round 2: G=1024
+        # beats 128/256 at every uniform size probed in both dims).
+        group_size = 1024
     group_size = min(group_size, max(1, n))
 
     tree = build_bvh(positions, masses, dim * MAX_BITS[dim],
