@@ -284,30 +284,58 @@ def build_bvh(positions: jax.Array, masses: jax.Array,
         tab = jnp.concatenate(tabs, axis=0)  # [2P-1, 1+D+nq]
 
         # Iterative segment-tree cover of [l, r+1) per internal node,
-        # accumulated about the node's first body position.
-        c_ref = pos_s[lo]                     # [n-1, D], inside node AABB
-        M = jnp.zeros((n - 1,), dt)
-        Pm = jnp.zeros((n - 1, dim), dt)
-        Sa = jnp.zeros((n - 1, nq), dt)
-        lo_k, hi_k = lo, hi + 1
-        for k in range(K + 1):
-            c1 = (lo_k < hi_k) & ((lo_k & 1) == 1)
-            i1 = offs[k] + lo_k
-            lo_k = lo_k + c1.astype(lo_k.dtype)
-            c2 = (lo_k < hi_k) & ((hi_k & 1) == 1)
-            hi_k = hi_k - c2.astype(hi_k.dtype)
-            i2 = offs[k] + hi_k
-            for cond, ib in ((c1, i1), (c2, i2)):
-                row = tab[jnp.clip(ib, 0, tab.shape[0] - 1)]
-                mb = jnp.where(cond, row[:, 0], 0.0)
-                d = jnp.where(cond[:, None], row[:, 1:1 + dim] - c_ref,
-                              0.0)
-                M = M + mb
-                Pm = Pm + mb[:, None] * d
-                Sa = (Sa + jnp.where(cond[:, None], row[:, 1 + dim:], 0.0)
-                      + mb[:, None] * _dd(d))
-            lo_k = lo_k >> 1
-            hi_k = hi_k >> 1
+        # accumulated about the node's first body position. The query runs
+        # as a lax.map over fixed node blocks: unchunked, the 2(K+1)
+        # per-level [n-1, 1+D+nq] gather temporaries all stay live and
+        # OOM'd HBM at N=5e6 3D (20+ rematerialized 300 MB buffers —
+        # round-2 sweep failure); blocks bound the working set to a few
+        # MB while the (one-block) program compiles once.
+        nb_int = n - 1
+        B = min(1 << 18, max(1, nb_int))
+        padded = -(-nb_int // B) * B if nb_int else B
+        pad_rows = padded - nb_int
+
+        def _pad(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((pad_rows,) + x.shape[1:], fill, x.dtype)]) \
+                if pad_rows else x
+
+        # Pad with the empty range [0, 0) -> no blocks taken, M = 0.
+        lo_b = _pad(lo, 0).reshape(-1, B)
+        hi_b = _pad(hi + 1, 0).reshape(-1, B)
+        cr_b = _pad(pos_s[lo], 0.0).reshape(-1, B, dim)
+
+        def _query_block(args):
+            lo_k, hi_k, c_ref = args
+            M = jnp.zeros((B,), dt)
+            Pm = jnp.zeros((B, dim), dt)
+            Sa = jnp.zeros((B, nq), dt)
+            for k in range(K + 1):
+                c1 = (lo_k < hi_k) & ((lo_k & 1) == 1)
+                i1 = offs[k] + lo_k
+                lo_k = lo_k + c1.astype(lo_k.dtype)
+                c2 = (lo_k < hi_k) & ((hi_k & 1) == 1)
+                hi_k = hi_k - c2.astype(hi_k.dtype)
+                i2 = offs[k] + hi_k
+                for cond, ib in ((c1, i1), (c2, i2)):
+                    row = tab[jnp.clip(ib, 0, tab.shape[0] - 1)]
+                    mb = jnp.where(cond, row[:, 0], 0.0)
+                    d = jnp.where(cond[:, None],
+                                  row[:, 1:1 + dim] - c_ref, 0.0)
+                    M = M + mb
+                    Pm = Pm + mb[:, None] * d
+                    Sa = (Sa + jnp.where(cond[:, None],
+                                         row[:, 1 + dim:], 0.0)
+                          + mb[:, None] * _dd(d))
+                lo_k = lo_k >> 1
+                hi_k = hi_k >> 1
+            return M, Pm, Sa
+
+        M, Pm, Sa = jax.lax.map(_query_block, (lo_b, hi_b, cr_b))
+        M = M.reshape(-1)[:nb_int]
+        Pm = Pm.reshape(-1, dim)[:nb_int]
+        Sa = Sa.reshape(-1, nq)[:nb_int]
+        c_ref = pos_s[lo]
 
         dcom = Pm / jnp.maximum(M, 1e-30)[:, None]
         com_int = jnp.where((M > 0)[:, None], c_ref + dcom, c_ref)
