@@ -237,10 +237,13 @@ def test_fused_driver_matches_component_path(rng_key):
         jnp.zeros_like(acc).at[tree.order].set(acc)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(manual))
 
-    # BVH (capacities passed explicitly so no escalation re-run).
+    # BVH (capacities AND group_size passed explicitly to both paths so no
+    # escalation re-run and no drift when bvh_forces retunes its defaults —
+    # a different group size changes the reduction order, which is exactly
+    # the bit-level difference this test exists to reject).
     kb = 2 * BVH_BITS[2]
     fused = bvh_forces(sys.positions, sys.masses, cfg, theta=0.25,
-                       frontier_width=1024, near_cap=1024)
+                       group_size=128, frontier_width=1024, near_cap=1024)
     btree = build_bvh(sys.positions, sys.masses, kb, quad=True)
     acc = bvh_accel_sorted(btree, theta=0.25,
                            softening=float(cfg.softening),
