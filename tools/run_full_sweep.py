@@ -76,6 +76,14 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("--sizes", default=None)
     ap.add_argument("--dims", default="2,3")
+    ap.add_argument("--run-prefix", default="r3",
+                    help="run-id prefix; files are named "
+                         "run_<prefix>{a,f}p<pass>_<method>_N_<n>_<d>D.csv")
+    ap.add_argument("--no-brute-large", action="store_true",
+                    help="skip the BruteForce_Pallas 2e6/5e6 chunks (the "
+                         "reference's '-m a' override rows — its CUDA CSV "
+                         "ships {2,5}e6 BruteForce rows past the N>1e6 "
+                         "gate, so we match them by default)")
     ap.add_argument("--timeout-small", type=float, default=600.0,
                     help="per-chunk cap, N <= 5e5")
     ap.add_argument("--timeout-large", type=float, default=1800.0,
@@ -91,7 +99,11 @@ def main() -> int:
         for d in dims:
             for name, tier in METHODS:
                 if tier == "a" and n > BRUTE_GATE:
-                    continue
+                    # Reference CLI gates brute above 1e6 (main.cpp:24) but
+                    # its shipped CSV includes CUDA rows at 2e6/5e6 via the
+                    # '-m a' override; match with the streaming kernel.
+                    if args.no_brute_large or name != "BruteForce_Pallas":
+                        continue
                 chunks.append((n, d, False, name))
     for n in sorted(sizes):
         if n not in ACCURACY_SIZES:
@@ -117,7 +129,7 @@ def main() -> int:
             label = f"N={n} {d}D acc={int(acc)} {m}"
             print(f"[p{pass_no} {i + 1}/{len(pending)}] {label} "
                   f"(t+{time.time() - t_start:.0f}s)", flush=True)
-            run_id = f"r2{'a' if acc else 'f'}p{pass_no}_{m}"
+            run_id = f"{args.run_prefix}{'a' if acc else 'f'}p{pass_no}_{m}"
             cmd = [sys.executable, "-m", "nbody_tpu.bench.sweep",
                    "--sizes", str(n), "--dims", str(d),
                    "--accuracy", "on" if acc else "off",
