@@ -502,6 +502,35 @@ def _neighbor_offsets(dim: int, k: int) -> np.ndarray:
                     np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _leaf_shell_subset(dim: int, k: int, c_gate: int):
+    """Static per-parity candidate subsets for the leaf-level far split.
+
+    The leaf-level V-list candidates (children of the parent's near ring,
+    :func:`_ring_offsets`) sit at offsets ``off − par`` from the leaf,
+    where ``par ∈ {0,1}^D`` is the leaf's child parity — so which
+    candidates fall in the inner far shells (Chebyshev distance in
+    (k, c_gate]) is a pure function of parity. Returns
+    ``(idx [2^D, m], valid [2^D, m])``: for each parity class, the indices
+    into the candidate axis whose shell must stay per-body (padded to the
+    max class size m with masked-out zeros). Parity bit d is coordinate
+    d's LSB.
+    """
+    cands, _ = _ring_offsets(dim, k)
+    sels = []
+    for pbits in range(1 << dim):
+        par = np.array([(pbits >> d) & 1 for d in range(dim)], np.int32)
+        cheb = np.abs(cands - par).max(axis=1)
+        sels.append(np.where((cheb > k) & (cheb <= c_gate))[0])
+    m = max(len(s) for s in sels)
+    idx = np.zeros((1 << dim, m), np.int32)
+    valid = np.zeros((1 << dim, m), bool)
+    for p, s in enumerate(sels):
+        idx[p, :len(s)] = s
+        valid[p, :len(s)] = True
+    return idx, valid
+
+
 def _resolve_p2p_impl(p2p_impl, dtype):
     """'auto' → jnp. The fused Pallas P2P (ops/pallas_p2p.py) measured
     neutral-to-slower on v5e (small odd tiles, per-leaf loop): FMM 4M 3D
@@ -666,17 +695,20 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
     carries (2k+1)^D·2^D candidates). A level is eligible when its worst-
     case Taylor ratio |ρ|/d ≈ √D/(2k·2^(L−l)) is ≤ ``local_ratio`` — the
     leaf level (l = L) never is (ratio ≈ √D/(2k+1)), so the nearest, most
-    error-sensitive ring always stays per-body.
+    error-sensitive ring always stays per-body. ``far_impl="local_leaf"``
+    admits the leaf level too (ratio √D/(2k+1) ≈ 0.25 at k=3 ⇒ order-2
+    truncation the same magnitude as the accepted quad-source truncation),
+    removing the body axis from the entire far field.
     """
     dim, L = tree.dim, tree.leaf_level
     B = leaf_ids_b.shape[0]
     cand_offs, _ = _ring_offsets(dim, k)
     cand_offs = jnp.asarray(cand_offs)
     acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
-    use_local = far_impl == "local"
+    use_local = far_impl in ("local", "local_leaf")
     if use_local:
         from .local_expansion import (LOCAL_RATIO_DEFAULT, eval_local,
-                                      local_coeffs, num_coeffs,
+                                      local_coeffs, num_coeffs, num_coeffs3,
                                       ring_level_is_local)
         if local_ratio is None:
             local_ratio = LOCAL_RATIO_DEFAULT
@@ -688,6 +720,11 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
         a0 = jnp.zeros((B, dim), dt)
         Jp = jnp.zeros((B, nj), dt)
         Hp = jnp.zeros((B, nh), dt)
+        # "local_leaf" admits the leaf ring (gated ratio ~0.19, vs ≤0.144
+        # for the non-leaf levels), where the order-2 truncation becomes
+        # the accuracy bottleneck — carry the order-3 term as well.
+        order3 = far_impl == "local_leaf"
+        Kp = jnp.zeros((B, num_coeffs3(dim)), dt) if order3 else None
         any_local = False
     for l in (range(2, L + 1) if levels is None else levels):
         anc = (leaf_ids_b >> (dim * (L - l))).astype(jnp.uint32)
@@ -708,13 +745,53 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
         cpack = tree.level_pack[l][cand_ids]  # [B, ncand, 4]: com|mass
         cmass = cpack[..., 3] * is_far
         ccom = cpack[..., :dim]
-        local_l = use_local and ring_level_is_local(dim, k, L, l,
-                                                    local_ratio)
-        if local_l:
+        local_l = use_local and ring_level_is_local(
+            dim, k, L, l, local_ratio,
+            include_leaf=(far_impl == "local_leaf"))
+        if local_l and l == L:
+            # Leaf-level shell split ("local_leaf"): candidates beyond
+            # c_gate = the largest Chebyshev shell whose Taylor ratio
+            # (√D/2)/c exceeds local_ratio go through the local expansion
+            # (same error budget as every other local level); the inner
+            # far shells (k < cheb ≤ c_gate — e.g. just shell 4 of ~2744
+            # candidates at k=3 in 3D) stay per-body. Removes the body
+            # axis from ~86% of the dominant θ=0.25 far-field term.
+            import math as _math
+            c_gate = _math.ceil(dim ** 0.5 / (2.0 * local_ratio)) - 1
+            mask_loc = is_far & (cheb > c_gate)
+            cS = (tree.level_quad[l][cand_ids] * mask_loc[..., None]
+                  if multipole == "quad" else None)
+            da0, dJ, dH, dK = local_coeffs(center, ccom,
+                                           cpack[..., 3] * mask_loc, cS,
+                                           order3=True)
+            a0, Jp, Hp, Kp = a0 + da0, Jp + dJ, Hp + dH, Kp + dK
+            any_local = True
+            idx_tab, valid_tab = _leaf_shell_subset(dim, k, c_gate)
+            if idx_tab.shape[1] > 0:
+                par_bits = anc_xy & 1  # [B, D] child parity
+                pidx = sum(par_bits[:, d] << d for d in range(dim))  # [B]
+                idx_b = jnp.asarray(idx_tab)[pidx]      # [B, m]
+                sub_mask = (jnp.take_along_axis(is_far, idx_b, 1)
+                            & jnp.asarray(valid_tab)[pidx])
+                sub_pack = jnp.take_along_axis(cpack, idx_b[..., None], 1)
+                sub_mass = sub_pack[..., 3] * sub_mask
+                sub_com = sub_pack[..., :dim]
+                if multipole == "quad":
+                    sub_quad = jnp.take_along_axis(
+                        tree.level_quad[l][cand_ids], idx_b[..., None], 1
+                    ) * sub_mask[..., None]
+                    acc = acc + _quad_cell_accel(tpos, sub_com, sub_mass,
+                                                 sub_quad)
+                else:
+                    acc = acc + _point_mass_accel(tpos, sub_com, sub_mass,
+                                                  0.0)
+        elif local_l:
             cS = (tree.level_quad[l][cand_ids] * is_far[..., None]
                   if multipole == "quad" else None)
-            da0, dJ, dH = local_coeffs(center, ccom, cmass, cS)
-            a0, Jp, Hp = a0 + da0, Jp + dJ, Hp + dH
+            out_l = local_coeffs(center, ccom, cmass, cS, order3=order3)
+            a0, Jp, Hp = a0 + out_l[0], Jp + out_l[1], Hp + out_l[2]
+            if order3:
+                Kp = Kp + out_l[3]
             any_local = True
         elif multipole == "quad":
             cquad = tree.level_quad[l][cand_ids] * is_far[..., None]
@@ -722,7 +799,8 @@ def far_field_rings(tree: GridTree, leaf_ids_b: jax.Array,
         else:
             acc = acc + _point_mass_accel(tpos, ccom, cmass, 0.0)
     if use_local and any_local:
-        acc = acc + eval_local(tpos - center[:, None, :], a0, Jp, Hp)
+        acc = acc + eval_local(tpos - center[:, None, :], a0, Jp, Hp,
+                               Kp if order3 else None)
     return acc
 
 
@@ -796,8 +874,28 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     leaf_batch = min(leaf_batch, mem_cap, my_leaves)
     nb = my_leaves // leaf_batch
 
-    def one_batch(leaf_ids_b):
-        """leaf_ids_b: [B] dense leaf cell ids."""
+    # Hierarchical far field ("hier"): the whole downward sweep runs ONCE
+    # outside the leaf map (per-parent gathers, L2L shifts — see
+    # ops/hier_far.py); each leaf batch only evaluates its order-3 Taylor
+    # expansion plus the per-body inner shells, carried into the map as xs.
+    hier_on = far_impl == "hier" and "far" not in _debug_skip
+    hier_xs = ()
+    if hier_on:
+        from .hier_far import hier_far_coeffs
+        h_coeffs, h_dp, h_dq = hier_far_coeffs(tree, k, multipole=multipole)
+        chunk0_h = all_leaf_ids[0]
+
+        def _chunk(x):
+            part = jax.lax.dynamic_slice_in_dim(x, chunk0_h, my_leaves)
+            return part.reshape((nb, leaf_batch) + part.shape[1:])
+
+        hier_xs = tuple(_chunk(x) for x in h_coeffs) + (_chunk(h_dp),)
+        if h_dq is not None:
+            hier_xs = hier_xs + (_chunk(h_dq),)
+
+    def one_batch(args):
+        """args: ([B] dense leaf ids, *hier per-leaf tensors when hier)."""
+        leaf_ids_b, *extra = args
         B = leaf_ids_b.shape[0]
         # Target bodies: each leaf's contiguous run as packed superrows
         # (slot-free; see _window_rows).
@@ -806,7 +904,22 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         acc = jnp.zeros(tpos.shape, tree.pos_sorted.dtype)
 
         # --- Far field: V-list per level (shared helper) ---------------
-        if "far" not in _debug_skip:
+        if hier_on:
+            from .local_expansion import eval_local
+            a0_b, J_b, H_b, K_b, dp_b = extra[:5]
+            leaf_xy_h = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)
+            center = tree.lo + (leaf_xy_h.astype(tree.pos_sorted.dtype)
+                                + 0.5) * tree.cell_sizes[L]
+            acc = acc + eval_local(tpos - center[:, None, :],
+                                   a0_b, J_b, H_b, K_b)
+            if dp_b.shape[1]:  # per-body inner far shells
+                if multipole == "quad":
+                    acc = acc + _quad_cell_accel(
+                        tpos, dp_b[..., :dim], dp_b[..., dim], extra[5])
+                else:
+                    acc = acc + _point_mass_accel(
+                        tpos, dp_b[..., :dim], dp_b[..., dim], 0.0)
+        elif "far" not in _debug_skip:
             acc = acc + far_field_rings(tree, leaf_ids_b, tpos, k=k,
                                         multipole=multipole,
                                         far_impl=far_impl)
@@ -833,7 +946,7 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
 
     # Map over even batches of dense leaf ids.
     ids_batched = all_leaf_ids.reshape(nb, leaf_batch)
-    accs = jax.lax.map(one_batch, ids_batched)
+    accs = jax.lax.map(one_batch, (ids_batched,) + hier_xs)
 
     # Window layout → sorted order is a pure GATHER (each body occupies
     # exactly one window slot; TPU scatters are ~5× slower than gathers).
@@ -892,7 +1005,7 @@ def barnes_hut_grid(
     p2p_impl: str = "auto",
     multipole: str = "quad",
     layout: str = "auto",
-    far_impl: str = "local",
+    far_impl: Optional[str] = None,
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] (honors theta, unlike methods.cpp:229,248).
 
@@ -905,6 +1018,13 @@ def barnes_hut_grid(
     order-2 local expansion at each leaf center instead of evaluating
     every candidate cell per body (see :func:`far_field_rings`) —
     arithmetic drops ~(levels−1)× on the far field at θ=0.25.
+    ``far_impl="local_leaf"`` also shell-splits the leaf-level ring
+    (order-3 term carried); ``far_impl="hier"`` runs the full FMM-style
+    downward sweep (ops/hier_far.py): per-parent candidate gathers, L2L
+    shifts, per-body work only for the innermost far shells — the
+    far-field gather volume drops ~(levels−1)·7×. "hier" requires k ≥ 2
+    (at k=1 every V-list shell is inside the deferral gate and it
+    degenerates to "point" with extra steps).
 
     ``layout``: "dense" is the capacity-padded per-leaf evaluation (fastest
     on quasi-uniform inputs; refuses degenerate capacities); "sparse" is
@@ -915,6 +1035,12 @@ def barnes_hut_grid(
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
     k = theta_to_ring(theta)
+    if far_impl is None:
+        # Measured defaults (v5e, round 3): "hier" at wide rings — 3D
+        # θ=0.25 full step 0.602→0.422 s at 1e5, 4.67→2.76 s at 5e5,
+        # accuracy held (99.60/99.69% reference metric); k=1 degenerates
+        # (every V-shell inside the deferral gate), so θ=0.5 keeps "local".
+        far_impl = "hier" if k >= 2 else "local"
     num_segments = 1
     if dim == 3 and k >= 3 and n >= 2_000_000:
         # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the
@@ -931,11 +1057,14 @@ def barnes_hut_grid(
             num_segments = 4
     if leaf_level is None:
         leaf_level = auto_leaf_level(n, dim, k=k)
+    # The sparse chunked path shares far_field_rings, which has no "hier"
+    # mode (per-chunk targets have no shared dense parent structure).
+    sparse_far = "local" if far_impl == "hier" else far_impl
     if layout == "sparse":
         from .sparse_grid import barnes_hut_sparse
         return barnes_hut_sparse(positions, masses, config, theta=theta,
                                  leaf_level=leaf_level, multipole=multipole,
-                                 far_impl=far_impl)
+                                 far_impl=sparse_far)
     if capacity is None:
         capacity = compute_capacity_cached(positions, leaf_level)
         if layout == "auto" and dense_layout_degenerate(
@@ -943,7 +1072,8 @@ def barnes_hut_grid(
             from .sparse_grid import barnes_hut_sparse
             return barnes_hut_sparse(positions, masses, config, theta=theta,
                                      leaf_level=leaf_level,
-                                     multipole=multipole, far_impl=far_impl)
+                                     multipole=multipole,
+                                     far_impl=sparse_far)
         check_grid_capacity(capacity, n, leaf_level, dim, "barnes_hut_grid")
     p2p_impl = _resolve_p2p_impl(p2p_impl, positions.dtype)
     g = jnp.asarray(config.G, positions.dtype)

@@ -52,16 +52,23 @@ LOCAL_RATIO_DEFAULT = 0.18
 
 
 def ring_level_is_local(dim: int, k: int, L: int, l: int,
-                        ratio: float = LOCAL_RATIO_DEFAULT) -> bool:
+                        ratio: float = LOCAL_RATIO_DEFAULT,
+                        include_leaf: bool = False) -> bool:
     """Is ring level ``l`` of an L-level grid local-eligible?
 
     Worst-case Taylor ratio of a leaf-centered expansion against level-l
     V-list cells: |ρ| ≤ (√D/2)·h (leaf half-diagonal) over d ≥ k·h·2^(L−l)
-    (candidate com at the near edge of the ancestor's ring). The leaf level
-    itself (l = L) is never eligible — its ratio √D/(2k+1) is the MAC's own
-    scale.
+    (candidate com at the near edge of the ancestor's ring). By default the
+    leaf level itself (l = L) is never eligible — its ratio √D/(2k+1) is
+    the MAC's own scale. ``include_leaf=True`` (``far_impl="local_leaf"``)
+    admits it anyway: the order-2 Taylor truncation O((ρ/d)³) at that ratio
+    is the same magnitude as the quad-source truncation the MAC already
+    accepts, and the leaf V-list ring is by far the largest per-body term
+    at θ=0.25 in 3D ((2k+1)^D·2^D ≈ 2744 candidates per group·body).
     """
-    return l < L and (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= ratio
+    if l >= L:
+        return include_leaf and l == L
+    return (dim ** 0.5) / (2.0 * k * (1 << (L - l))) <= ratio
 
 
 def _h_triples(dim: int):
@@ -69,10 +76,15 @@ def _h_triples(dim: int):
     return [t for t in itertools.combinations_with_replacement(range(dim), 3)]
 
 
+def _k_quads(dim: int):
+    """Packed index quadruples of the fully-symmetric ∂³a tensor (order 3)."""
+    return [q for q in itertools.combinations_with_replacement(range(dim), 4)]
+
+
 def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
                  S: Optional[jax.Array] = None,
-                 softening: float = 0.0
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                 softening: float = 0.0,
+                 order3: bool = False) -> Tuple[jax.Array, ...]:
     """Accumulate (a0, J, H) at ``center`` from source cells.
 
     center [..., D]; com [..., K, D]; mass [..., K] (masked-out cells must
@@ -101,6 +113,19 @@ def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
     O((s/d)²·(ρ/d)²) relative — below the order-2 truncation already
     accepted. J's quadrupole term is kept because gated ratios ~0.2 make
     (s/d)²·(ρ/d) comparable to the monopole's ρ²/d² term.)
+
+    ``order3=True`` additionally returns the packed fully-symmetric
+    third-derivative-of-acceleration tensor (monopole only — same argument
+    as H's):
+
+      K_abcd = 3 M u⁵ (35 n_a n_b n_c n_d
+                       − 5(δ_ab n_c n_d + δ_ac n_b n_d + δ_bc n_a n_d
+                           + δ_ad n_b n_c + δ_bd n_a n_c + δ_cd n_a n_b)
+                       + δ_ab δ_cd + δ_ac δ_bd + δ_ad δ_bc)
+
+    which drops the local truncation O((ρ/d)³) → O((ρ/d)⁴) — needed by the
+    leaf-level shell split (``far_impl="local_leaf"``) where the gated
+    ratio ~0.19 makes the order-2 term the accuracy bottleneck.
     """
     dim = center.shape[-1]
     qpairs = _quad_pairs(dim)
@@ -137,6 +162,22 @@ def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
             t5 = t5 - n[a]
         Hp.append(Mu4_3 * t5)
 
+    Kp = None
+    if order3:
+        Mu5_3 = Mu4_3 * u
+        Kp = []
+        for a, b, c, d in _k_quads(dim):
+            t = 35.0 * n[a] * n[b] * n[c] * n[d]
+            for (x, y), (z, w) in (((a, b), (c, d)), ((a, c), (b, d)),
+                                   ((a, d), (b, c))):
+                if x == y:
+                    t = t - 5.0 * n[z] * n[w]
+                if z == w:
+                    t = t - 5.0 * n[x] * n[y]
+                if x == y and z == w:
+                    t = t + 1.0
+            Kp.append(Mu5_3 * t)
+
     if S is not None:
         s_hat = {}
         for i, p in enumerate(qpairs):
@@ -162,15 +203,19 @@ def local_coeffs(center: jax.Array, com: jax.Array, mass: jax.Array,
     a0 = jnp.stack([jnp.sum(x, axis=-1) for x in a0], axis=-1)
     Jp = jnp.stack([jnp.sum(x, axis=-1) for x in Jp], axis=-1)
     Hp = jnp.stack([jnp.sum(x, axis=-1) for x in Hp], axis=-1)
+    if order3:
+        Kp = jnp.stack([jnp.sum(x, axis=-1) for x in Kp], axis=-1)
+        return a0, Jp, Hp, Kp
     return a0, Jp, Hp
 
 
 def eval_local(rho: jax.Array, a0: jax.Array, Jp: jax.Array,
-               Hp: jax.Array) -> jax.Array:
+               Hp: jax.Array, Kp: Optional[jax.Array] = None) -> jax.Array:
     """Evaluate the packed local expansion at body offsets.
 
     rho [..., T, D] (body − center); a0 [..., D]; Jp [..., nj];
-    Hp [..., nh] → acceleration increments [..., T, D].
+    Hp [..., nh]; optional Kp [..., nk] (order-3 term, see
+    :func:`local_coeffs` ``order3``) → acceleration increments [..., T, D].
     """
     dim = rho.shape[-1]
     qpairs = _quad_pairs(dim)
@@ -197,9 +242,86 @@ def eval_local(rho: jax.Array, a0: jax.Array, Jp: jax.Array,
             for c in range(b + 1, dim):
                 acc = acc + H(a, b, c) * rho_d[b] * rho_d[c]
         out.append(acc)
-    return jnp.stack(out, axis=-1)
+    acc = jnp.stack(out, axis=-1)
+    if Kp is not None:
+        # (1/6) Σ_bcd K_abcd ρ_b ρ_c ρ_d over unique sorted (b ≤ c ≤ d)
+        # with permutation multiplicity. The packed K axis itself is the
+        # (a, b, c, d) quadruple list; for each output component a we need
+        # K[a, b, c, d] = packed[sorted(a, b, c, d)].
+        kidx = {q: i for i, q in enumerate(_k_quads(dim))}
+        out3 = []
+        for a in range(dim):
+            acc3 = 0.0
+            for b, c, d in itertools.combinations_with_replacement(
+                    range(dim), 3):
+                # permutation count of the multiset {b, c, d} (b ≤ c ≤ d)
+                if b == c == d:
+                    mult = 1
+                elif b == c or c == d:
+                    mult = 3
+                else:
+                    mult = 6
+                i = kidx[tuple(sorted((a, b, c, d)))]
+                acc3 = acc3 + (mult / 6.0) * Kp[..., None, i] \
+                    * rho_d[b] * rho_d[c] * rho_d[d]
+            out3.append(acc3)
+        acc = acc + jnp.stack(out3, axis=-1)
+    return acc
+
+
+def shift_local(a0: jax.Array, Jp: jax.Array, Hp: jax.Array,
+                Kp: jax.Array, delta) -> Tuple[jax.Array, ...]:
+    """Re-center an order-3 local expansion from c to c + delta (L2L), exact.
+
+    delta: [D] (static offsets in the hierarchical sweep) or broadcastable
+    to the batch. Returns (a0', Jp', Hp', Kp') packed like the inputs:
+
+      a0'    = a0 + J δ + ½ δᵀHδ + (1/6) K δδδ   (= the expansion at c+δ)
+      J'_ab  = J_ab + Σ_c H_abc δ_c + ½ Σ_cd K_abcd δ_c δ_d
+      H'_abc = H_abc + Σ_d K_abcd δ_d
+      K'     = K
+    """
+    dim = a0.shape[-1]
+    delta = jnp.broadcast_to(jnp.asarray(delta, a0.dtype), a0.shape)
+    a0p = eval_local(delta[..., None, :], a0, Jp, Hp, Kp)[..., 0, :]
+
+    qpairs = _quad_pairs(dim)
+    triples = _h_triples(dim)
+    quads = _k_quads(dim)
+    hidx = {t: i for i, t in enumerate(triples)}
+    kidx = {q: i for i, q in enumerate(quads)}
+    d_d = [delta[..., d] for d in range(dim)]
+
+    def H(a, b, c):
+        return Hp[..., hidx[tuple(sorted((a, b, c)))]]
+
+    def KK(a, b, c, d):
+        return Kp[..., kidx[tuple(sorted((a, b, c, d)))]]
+
+    Jp_new = []
+    for i, (a, b) in enumerate(qpairs):
+        t = Jp[..., i]
+        for c in range(dim):
+            t = t + H(a, b, c) * d_d[c]
+        for c in range(dim):
+            t = t + 0.5 * KK(a, b, c, c) * d_d[c] * d_d[c]
+            for e in range(c + 1, dim):
+                t = t + KK(a, b, c, e) * d_d[c] * d_d[e]
+        Jp_new.append(t)
+    Hp_new = []
+    for i, (a, b, c) in enumerate(triples):
+        t = Hp[..., i]
+        for d in range(dim):
+            t = t + KK(a, b, c, d) * d_d[d]
+        Hp_new.append(t)
+    return (a0p, jnp.stack(Jp_new, axis=-1), jnp.stack(Hp_new, axis=-1), Kp)
 
 
 def num_coeffs(dim: int) -> Tuple[int, int, int]:
     """(len a0, len J packed, len H packed) for carry allocation."""
     return dim, len(_quad_pairs(dim)), len(_h_triples(dim))
+
+
+def num_coeffs3(dim: int) -> int:
+    """len K packed (order-3 term) for carry allocation."""
+    return len(_k_quads(dim))

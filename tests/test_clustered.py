@@ -14,6 +14,10 @@ from nbody_tpu.ops.fmm import fmm_forces
 from nbody_tpu.ops.grid_tree import barnes_hut_grid, compute_capacity, auto_leaf_level
 from nbody_tpu.utils.accuracy import scale_normalized_error
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_bh_on_plummer(rng_key):
     sys, cfg = plummer_sphere(rng_key, 300, dtype=jnp.float64)

@@ -202,6 +202,7 @@ def test_capacity_memo_exact_and_weakref_guarded(rng_key):
         _CAPACITY_MEMO.pop(k, None)
 
 
+@pytest.mark.slow
 def test_fused_driver_matches_component_path(rng_key):
     """The single-dispatch fused drivers (_bh_grid_fused / _fmm_fused /
     _bvh_fused) must be bit-identical to composing their pieces eagerly —

@@ -16,6 +16,10 @@ from nbody_tpu.parallel.let_bvh import let_bvh
 from nbody_tpu.parallel.mesh import make_mesh
 from nbody_tpu.utils.accuracy import scale_normalized_error
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_let_bvh_theta0_exact(rng_key, dim):
     sys = random_system(rng_key, 700, dim=dim, dtype=jnp.float64)

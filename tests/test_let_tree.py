@@ -10,6 +10,10 @@ from nbody_tpu.parallel.let_tree import let_barnes_hut
 from nbody_tpu.parallel.mesh import make_mesh
 from nbody_tpu.utils.accuracy import scale_normalized_error
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_let_bh_matches_single_device(rng_key, dim):
     sys = random_system(rng_key, 700, dim=dim, dtype=jnp.float64)

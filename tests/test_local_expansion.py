@@ -282,3 +282,92 @@ def test_bh_sparse_local(rng_key):
                             leaf_level=5, far_impl="local")
     err = float(scale_normalized_error(got, want))
     assert err < 5e-4, err
+
+
+def test_order3_k_matches_jacfwd():
+    """Packed K (∂³a, order-3 term) == triple autodiff of the direct sum."""
+    import itertools
+    from nbody_tpu.ops.local_expansion import _k_quads
+    dim = 3
+    center, com, mass, _ = _random_cells(dim, K=6, seed=77)
+    center = center.astype(jnp.float64)
+    com = com.astype(jnp.float64)
+    mass = mass.astype(jnp.float64)
+
+    def a_of_c(c):
+        R = com - c
+        r = jnp.linalg.norm(R, axis=-1, keepdims=True)
+        return jnp.sum(mass[:, None] * R / r ** 3, axis=0)
+
+    K_auto = jax.jacfwd(jax.jacfwd(jax.jacfwd(a_of_c)))(center)
+    _, _, _, Kp = local_coeffs(center[None, :], com[None, :, :],
+                               mass[None, :], order3=True)
+    kidx = {q: i for i, q in enumerate(_k_quads(dim))}
+    for a, b, c, d in itertools.product(range(dim), repeat=4):
+        packed = float(Kp[0, kidx[tuple(sorted((a, b, c, d)))]])
+        auto = float(K_auto[a, b, c, d])
+        assert abs(packed - auto) <= 1e-10 * max(abs(auto), 1e-30), \
+            (a, b, c, d, packed, auto)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_shift_local_exact(dim):
+    """L2L re-centering is an exact polynomial identity:
+    eval(ρ − δ, shift(coeffs, δ)) == eval(ρ, coeffs) to f64 roundoff."""
+    from nbody_tpu.ops.local_expansion import shift_local
+    center, com, mass, _ = _random_cells(dim, K=5, seed=dim * 10 + 5)
+    center = center.astype(jnp.float64)
+    a0, Jp, Hp, Kp = local_coeffs(center[None, :],
+                                  com[None, :, :].astype(jnp.float64),
+                                  mass[None, :].astype(jnp.float64),
+                                  order3=True)
+    rng = np.random.default_rng(9)
+    delta = jnp.asarray(rng.uniform(-0.02, 0.02, size=(dim,)) * 1e7,
+                        jnp.float64)
+    rho = jnp.asarray(rng.uniform(-0.05, 0.05, size=(1, 6, dim)) * 1e7,
+                      jnp.float64)
+    direct = eval_local(rho, a0, Jp, Hp, Kp)
+    shifted = shift_local(a0, Jp, Hp, Kp, delta)
+    via = eval_local(rho - delta, *shifted)
+    np.testing.assert_allclose(np.asarray(via), np.asarray(direct),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("far_impl", ["local_leaf", "hier"])
+def test_bh_leaf_level_far_accuracy(rng_key, far_impl):
+    """Leaf-level shell-split far fields (per-body inner shells + order-3
+    local beyond) hold the reference accuracy metric at θ=0.25 in 3D."""
+    from nbody_tpu.ops.brute_force import brute_force_direct
+    from nbody_tpu.ops.grid_tree import barnes_hut_grid
+    from nbody_tpu.state import random_system
+    from nbody_tpu.config import GravityConfig
+    from nbody_tpu.utils.accuracy import (accuracy_percentage,
+                                          scale_normalized_error)
+    sys = random_system(rng_key, 8192, dim=3, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
+                          leaf_level=4, far_impl=far_impl)
+    assert float(accuracy_percentage(got, want)) >= 99.0
+    assert float(scale_normalized_error(got, want)) < 1e-3
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_bh_hier_matches_local_class_error(rng_key, dim):
+    """far_impl='hier' error stays within ~2× of the per-leaf 'local' mode
+    (same gated Taylor ratios; only the expansion centers differ)."""
+    from nbody_tpu.ops.brute_force import brute_force_direct
+    from nbody_tpu.ops.grid_tree import barnes_hut_grid
+    from nbody_tpu.state import random_system
+    from nbody_tpu.config import GravityConfig
+    from nbody_tpu.utils.accuracy import scale_normalized_error
+    sys = random_system(rng_key, 4096, dim=dim, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    e_local = float(scale_normalized_error(
+        barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
+                        leaf_level=4, far_impl="local"), want))
+    e_hier = float(scale_normalized_error(
+        barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
+                        leaf_level=4, far_impl="hier"), want))
+    assert e_hier < max(2.0 * e_local, 1e-4), (e_hier, e_local)

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from nbody_tpu import GravityConfig, random_system
 from nbody_tpu.ops.brute_force import brute_force_direct
 from nbody_tpu.parallel.mesh import make_mesh

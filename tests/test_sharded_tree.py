@@ -9,6 +9,10 @@ from nbody_tpu.ops.grid_tree import barnes_hut_grid
 from nbody_tpu.parallel.mesh import make_mesh
 from nbody_tpu.parallel.sharded_tree import barnes_hut_sharded
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_sharded_bh_matches_single_device(rng_key, dim):
     sys = random_system(rng_key, 400, dim=dim, dtype=jnp.float64)

@@ -94,7 +94,9 @@ def main():
                 ("far", "point", "bh near only"),
                 ("far,near", "point", "bh scatter/slots only"),
                 ("", "local", "bh eval full (local far)"),
-                ("near", "local", "bh far only (local)")):
+                ("near", "local", "bh far only (local)"),
+                ("", "local_leaf", "bh eval full (local_leaf far)"),
+                ("near", "local_leaf", "bh far only (local_leaf)")):
             def run_bh(skip=skip, far_impl=far_impl):
                 acc = grid_tree_accel_sorted(tree, k=k, softening=soft,
                                              multipole="quad",
