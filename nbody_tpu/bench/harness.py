@@ -144,6 +144,15 @@ def run_benchmark(
     if results_dir is not None:
         ensure_results_directory(results_dir)
         base = os.path.join(results_dir, f"run_{run_id}_N_{n}_{dim}D")
+        # Never silently clobber an existing run file: two chunks sharing a
+        # run_id at the same (N, dim) destroyed committed rows in round 2
+        # (ADVICE r2) — uniquify instead.
+        if os.path.exists(base + ".csv") or os.path.exists(base + ".out"):
+            suffix = 1
+            while os.path.exists(f"{base}_{suffix}.csv") \
+                    or os.path.exists(f"{base}_{suffix}.out"):
+                suffix += 1
+            base = f"{base}_{suffix}"
         csv_file = open(base + ".csv", "w")
         log_file = open(base + ".out", "w")
         header = "Method,Bodies,Dimension,Time(s)"

@@ -503,6 +503,32 @@ def _neighbor_offsets(dim: int, k: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _parent_window(dim: int, k: int):
+    """Static tables for the parent-shared near field.
+
+    The (2k+1)^D near windows of the 2^D sibling leaves all lie inside one
+    (2k+2)^D window around their parent, so the source rows can be gathered
+    ONCE PER PARENT (5.4× fewer row gathers at k=3 in 3D) and each sibling
+    P2P pass just pre-zeroes the masses of cells outside its own ring — a
+    static per-parity cell mask, zero per-pair cost, at (2k+2)^D/(2k+1)^D ≈
+    1.5× the pair slots (the pair arithmetic is a small share of the
+    measured near-field time; the gathers dominate).
+
+    Returns (offsets [(2k+2)^D, D] relative to 2·parent_coords,
+             masks [2^D, (2k+2)^D] float32 — cell usable by child parity).
+    """
+    offs = np.array(list(itertools.product(range(-k, k + 2), repeat=dim)),
+                    np.int32)
+    masks = np.zeros((1 << dim, len(offs)), np.float32)
+    for pm in range(1 << dim):
+        par = np.array([(pm >> (dim - 1 - d)) & 1 for d in range(dim)],
+                       np.int32)
+        cheb = np.abs(offs - par).max(axis=1)
+        masks[pm] = (cheb <= k).astype(np.float32)
+    return offs, masks
+
+
+@functools.lru_cache(maxsize=None)
 def _leaf_shell_subset(dim: int, k: int, c_gate: int):
     """Static per-parity candidate subsets for the leaf-level far split.
 
@@ -912,10 +938,14 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                                 + 0.5) * tree.cell_sizes[L]
             acc = acc + eval_local(tpos - center[:, None, :],
                                    a0_b, J_b, H_b, K_b)
-            if dp_b.shape[1]:  # per-body inner far shells
+            if dp_b.shape[1]:  # per-body inner far shells (flat-packed —
+                # [G, md·4] buffers dodge the 32× (8,128) tile padding of
+                # a [G, md, 4] layout; reshape per batch is register-local)
+                dp_b = dp_b.reshape(B, -1, dim + 1)
                 if multipole == "quad":
+                    dq_b = extra[5].reshape(B, dp_b.shape[1], -1)
                     acc = acc + _quad_cell_accel(
-                        tpos, dp_b[..., :dim], dp_b[..., dim], extra[5])
+                        tpos, dp_b[..., :dim], dp_b[..., dim], dq_b)
                 else:
                     acc = acc + _point_mass_accel(
                         tpos, dp_b[..., :dim], dp_b[..., dim], 0.0)
@@ -926,20 +956,53 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
 
         # --- Near field: leaf P2P over the (2k+1)^D neighborhood -------
         if "near" not in _debug_skip:
-            leaf_xy = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)\
-                .astype(jnp.int32)  # [B, D]
-            nb_xy = leaf_xy[:, None, :] + near_offs[None, :, :]
-            nb_ok = jnp.all((nb_xy >= 0) & (nb_xy < (1 << side_bits)),
-                            axis=-1)
-            nb_ids = morton_key_from_coords(
-                jnp.clip(nb_xy, 0, (1 << side_bits) - 1).astype(jnp.uint32)
-                .reshape(-1, dim), side_bits).astype(jnp.int32).reshape(B, -1)
-            sb, _, svalid = _window_rows(tree, nb_ids)  # [B, nnear, SWR, 4]
-            svalid = svalid & nb_ok[:, :, None]
-            spos = sb[..., :dim].reshape(B, -1, dim)
-            smass = (sb[..., 3] * svalid).reshape(B, -1)
-            acc = acc + _near_field_accel(tpos, spos, smass, softening,
-                                          p2p_impl)
+            nch = 1 << dim
+            if k >= 2 and B % nch == 0:
+                # Parent-shared source windows (see _parent_window): one
+                # (2k+2)^D gather per parent, 2^D per-parity masked P2P
+                # passes over it.
+                Bp = B // nch
+                twr = tpos.shape[1]
+                offs_np, masks_np = _parent_window(dim, k)
+                parent_ids = leaf_ids_b.reshape(Bp, nch)[:, 0] >> dim
+                parent_xy = cell_coords(
+                    parent_ids.astype(jnp.uint32), dim).astype(jnp.int32)
+                w_xy = parent_xy[:, None, :] * 2 \
+                    + jnp.asarray(offs_np)[None, :, :]
+                w_ok = jnp.all((w_xy >= 0) & (w_xy < (1 << side_bits)),
+                               axis=-1)
+                w_ids = morton_key_from_coords(
+                    jnp.clip(w_xy, 0, (1 << side_bits) - 1)
+                    .astype(jnp.uint32).reshape(-1, dim),
+                    side_bits).astype(jnp.int32).reshape(Bp, -1)
+                sb, _, svalid = _window_rows(tree, w_ids)  # [Bp, W, SWR, 4]
+                svalid = svalid & w_ok[:, :, None]
+                spos = sb[..., :dim].reshape(Bp, -1, dim)
+                smass = sb[..., 3] * svalid  # [Bp, W, SWR]
+                tpos_p = tpos.reshape(Bp, nch, twr, dim)
+                parts = []
+                for pm in range(nch):
+                    m = jnp.asarray(masks_np[pm], tpos.dtype)
+                    sm = (smass * m[None, :, None]).reshape(Bp, -1)
+                    parts.append(_near_field_accel(
+                        tpos_p[:, pm], spos, sm, softening, p2p_impl))
+                acc = acc + jnp.stack(parts, axis=1).reshape(B, twr, dim)
+            else:
+                leaf_xy = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)\
+                    .astype(jnp.int32)  # [B, D]
+                nb_xy = leaf_xy[:, None, :] + near_offs[None, :, :]
+                nb_ok = jnp.all((nb_xy >= 0) & (nb_xy < (1 << side_bits)),
+                                axis=-1)
+                nb_ids = morton_key_from_coords(
+                    jnp.clip(nb_xy, 0, (1 << side_bits) - 1)
+                    .astype(jnp.uint32).reshape(-1, dim),
+                    side_bits).astype(jnp.int32).reshape(B, -1)
+                sb, _, svalid = _window_rows(tree, nb_ids)
+                svalid = svalid & nb_ok[:, :, None]  # [B, nnear, SWR]
+                spos = sb[..., :dim].reshape(B, -1, dim)
+                smass = (sb[..., 3] * svalid).reshape(B, -1)
+                acc = acc + _near_field_accel(tpos, spos, smass, softening,
+                                              p2p_impl)
 
         del tidx, tvalid
         return acc

@@ -96,23 +96,36 @@ def hier_far_coeffs(
     k: int,
     multipole: str = "quad",
     local_ratio: Optional[float] = None,
+    chunk_budget: int = 16_000_000,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, Optional[jax.Array]]:
     """Run the downward sweep. Returns (coeffs, dfr_pack, dfr_quad):
 
     coeffs — (a0 [G, D], J [G, nj], H [G, nh], K [G, nk]) order-3 local
       expansions at every dense leaf cell's geometric center (G leaves),
       covering every V-list level's shells ≥ the deferral gate;
-    dfr_pack — [G, md, D+1] = (com | mass) of each leaf's inner far shells
-      (k < cheb < c_min), masses pre-zeroed for out-of-bounds / padding —
-      these must be evaluated per body (quad or point to match
-      ``multipole``);
-    dfr_quad — [G, md, nq] matching second moments, or None for "mono".
+    dfr_pack — [G, md·(D+1)] = flattened (com | mass) of each leaf's inner
+      far shells (k < cheb < c_min), masses pre-zeroed for out-of-bounds /
+      padding — these must be evaluated per body (quad or point to match
+      ``multipole``). FLAT on purpose: a materialized [G, md, D+1] buffer
+      gets the TPU (8,128) tile padding on its trailing (md, 4) dims —
+      ~32× inflation, 46 GB at N=5e6 3D (the round-3 OOM); the flat 2D
+      layout pads ~1.03×. Callers reshape per leaf batch.
+    dfr_quad — [G, md·nq] matching flattened second moments, or None.
+
+    Large levels are swept in parent chunks via ``lax.map``: the leaf-level
+    candidate gather is [P, (2k+1)^D·2^D, 4] — at L=6 3D that is 90M rows
+    whose tiled buffer (f32[89915392,4]{T(8,128)} = 46 GB) OOMs the 16 GB
+    HBM if materialized whole (measured, N=5e6 3D θ=0.25).
     """
     dim, L = tree.dim, tree.leaf_level
     dt = tree.pos_sorted.dtype
     if local_ratio is None:
         local_ratio = LOCAL_RATIO_DEFAULT
-    c_min = math.ceil(dim ** 0.5 / (2.0 * local_ratio))
+    # Clamp to k+1: shells ≤ k are the NEAR ring (the P2P pass owns them).
+    # Without the clamp, wide rings (k ≥ 4 in 2D, k ≥ 5 in 3D) counted
+    # near cells as far-field "own" shells — double counting (measured:
+    # θ=0.125 L=3 2D error 2.6e-2 vs 4e-15 for far_impl="local").
+    c_min = max(math.ceil(dim ** 0.5 / (2.0 * local_ratio)), k + 1)
     own_sel, dfr_sel, (dfr_idx, dfr_valid) = _parity_shell_sel(dim, k, c_min)
     cand_offs = jnp.asarray(_ring_offsets(dim, k)[0])
     nch = 1 << dim
@@ -123,108 +136,141 @@ def hier_far_coeffs(
     coeffs = None  # (a0, J, H, K) at current-level cell centers [C_l, ...]
     pre = None  # deferred contributions awaiting the next level [C_{l+1}, .]
     dfr_pack = dfr_quad = None
+    md = dfr_idx.shape[1]
+    # chunk_budget: per-chunk candidate-gather budget (parents ×
+    # candidates). The 16M default ≈ the largest whole-level gather
+    # measured safe on the 16 GB chip ([4096, 2744, 4] at N=2e6 3D); the
+    # 90M-row L=6 level OOMs (46 GB tiled) and is swept in 4096-parent
+    # chunks instead.
+
     for l in range(2, L + 1):
         P = 1 << (dim * (l - 1))
-        pidx = jnp.arange(P, dtype=jnp.uint32)
-        parent_xy = cell_coords(pidx, dim).astype(jnp.int32)
-        cand_xy = parent_xy[:, None, :] * 2 + cand_offs[None, :, :]
-        in_b = jnp.all((cand_xy >= 0) & (cand_xy < (1 << l)), axis=-1)
-        cand_ids = morton_key_from_coords(
-            jnp.clip(cand_xy, 0, (1 << l) - 1).astype(jnp.uint32)
-            .reshape(-1, dim), l).astype(jnp.int32).reshape(P, -1)
-        cpack = tree.level_pack[l][cand_ids]  # [P, nc, 4]
-        cmass = cpack[..., 3] * in_b
-        ccom = cpack[..., :dim]
-        cquad = (tree.level_quad[l][cand_ids] * in_b[..., None]
-                 if quad else None)
-
+        nc = int(cand_offs.shape[0])
         h_l = tree.cell_sizes[l].astype(dt)  # [D]
-        parent_center = tree.lo.astype(dt) + \
-            (parent_xy.astype(dt) + 0.5) * tree.cell_sizes[l - 1].astype(dt)
 
-        # (b) shells >= c_min at each child's own center (static per-parity
-        # candidate subsets; 2^D unrolled local_coeffs calls).
-        per_par = []
-        for pm in range(nch):
-            child_center = parent_center + \
-                (jnp.asarray(_par_vec(pm, dim), dt) - 0.5) * h_l
-            sel = own_sel[pm]
-            a0, J, H, K = local_coeffs(
-                child_center, ccom[:, sel], cmass[:, sel],
-                cquad[:, sel] if quad else None, order3=True)
-            per_par.append((a0, J, H, K))
-        level_c = tuple(
-            jnp.stack([t[i] for t in per_par], axis=1)
-            .reshape(P * nch, per_par[0][i].shape[-1])
-            for i in range(4))
+        def level_fn(pidx, *, _l=l, _coeffs=coeffs):
+            """Per-parent-chunk sweep body; pidx [Pc] int32 parent ids."""
+            Pc = pidx.shape[0]
+            parent_xy = cell_coords(pidx.astype(jnp.uint32), dim)\
+                .astype(jnp.int32)
+            cand_xy = parent_xy[:, None, :] * 2 + cand_offs[None, :, :]
+            in_b = jnp.all((cand_xy >= 0) & (cand_xy < (1 << _l)), axis=-1)
+            cand_ids = morton_key_from_coords(
+                jnp.clip(cand_xy, 0, (1 << _l) - 1).astype(jnp.uint32)
+                .reshape(-1, dim), _l).astype(jnp.int32).reshape(Pc, -1)
+            cpack = tree.level_pack[_l][cand_ids]  # [Pc, nc, 4]
+            cmass = cpack[..., 3] * in_b
+            ccom = cpack[..., :dim]
+            cquad = (tree.level_quad[_l][cand_ids] * in_b[..., None]
+                     if quad else None)
 
-        # L2L: shift the accumulated parent expansions to child centers.
-        if coeffs is not None:
-            shifted = []
+            parent_center = tree.lo.astype(dt) + \
+                (parent_xy.astype(dt) + 0.5) \
+                * tree.cell_sizes[_l - 1].astype(dt)
+
+            # (b) shells >= c_min at each child's own center (static
+            # per-parity candidate subsets; 2^D unrolled local_coeffs).
+            per_par = []
             for pm in range(nch):
-                delta = (jnp.asarray(_par_vec(pm, dim), dt) - 0.5) * h_l
-                shifted.append(shift_local(*coeffs, delta))
-            down = tuple(
-                jnp.stack([t[i] for t in shifted], axis=1)
-                .reshape(P * nch, shifted[0][i].shape[-1])
+                child_center = parent_center + \
+                    (jnp.asarray(_par_vec(pm, dim), dt) - 0.5) * h_l
+                sel = own_sel[pm]
+                a0, J, H, K = local_coeffs(
+                    child_center, ccom[:, sel], cmass[:, sel],
+                    cquad[:, sel] if quad else None, order3=True)
+                per_par.append((a0, J, H, K))
+            level_c = tuple(
+                jnp.stack([t[i] for t in per_par], axis=1)
+                .reshape(Pc * nch, per_par[0][i].shape[-1])
                 for i in range(4))
-            level_c = tuple(a + b for a, b in zip(level_c, down))
+
+            # L2L: shift the accumulated parent expansions (rows gathered
+            # for this chunk) to child centers.
+            if _coeffs is not None:
+                prows = tuple(c[pidx] for c in _coeffs)
+                shifted = []
+                for pm in range(nch):
+                    delta = (jnp.asarray(_par_vec(pm, dim), dt) - 0.5) * h_l
+                    shifted.append(shift_local(*prows, delta))
+                down = tuple(
+                    jnp.stack([t[i] for t in shifted], axis=1)
+                    .reshape(Pc * nch, shifted[0][i].shape[-1])
+                    for i in range(4))
+                level_c = tuple(a + b for a, b in zip(level_c, down))
+
+            # (c) inner far shells (k < cheb < c_min).
+            if _l < L:
+                if not any(s.size for s in dfr_sel):
+                    return level_c
+                # Defer one level down: expand at the child's children's
+                # centers (ratio tightens to ~√D/(2(2c−1))). The 2^D
+                # grandchild centers ride one batched call per parity.
+                h_next = tree.cell_sizes[_l + 1].astype(dt)
+                gc_offs = jnp.stack(
+                    [(jnp.asarray(_par_vec(pm2, dim), dt) - 0.5) * h_next
+                     for pm2 in range(nch)])  # [nch, D]
+                pre_par = []
+                for pm in range(nch):
+                    sel = dfr_sel[pm]
+                    child_center = parent_center + \
+                        (jnp.asarray(_par_vec(pm, dim), dt) - 0.5) * h_l
+                    gc_centers = child_center[:, None, :] + gc_offs[None]
+                    a0, J, H, K = local_coeffs(
+                        gc_centers,  # [Pc, nch, D]
+                        ccom[:, None, sel], cmass[:, None, sel],
+                        cquad[:, None, sel] if quad else None, order3=True)
+                    pre_par.append((a0, J, H, K))  # each [Pc, nch, ·]
+                pre_c = tuple(
+                    jnp.stack([t[i] for t in pre_par], axis=1)
+                    .reshape(Pc * nch * nch, pre_par[0][i].shape[-1])
+                    for i in range(4))
+                return level_c + pre_c
+            # Leaf level: the inner shells stay per-body. Static-select
+            # the padded per-parity subsets from the shared parent gather,
+            # interleave back to leaf-major Morton order, and FLATTEN the
+            # trailing dims (see docstring: tile-padding economics).
+            if not md:
+                return level_c
+            packs, quads = [], []
+            for pm in range(nch):
+                sel = dfr_idx[pm]
+                v = jnp.asarray(dfr_valid[pm], dt)
+                pm_mass = cmass[:, sel] * v
+                packs.append(jnp.concatenate(
+                    [ccom[:, sel], pm_mass[..., None]], axis=-1))
+                if quad:
+                    quads.append(cquad[:, sel] * v[:, None])
+            out = level_c + (jnp.stack(packs, axis=1).reshape(
+                Pc * nch, md * (dim + 1)),)
+            if quad:
+                out = out + (jnp.stack(quads, axis=1).reshape(
+                    Pc * nch, md * quads[0].shape[-1]),)
+            return out
+
+        all_pidx = jnp.arange(P, dtype=jnp.int32)
+        if P * nc <= chunk_budget or P < 2:
+            outs = level_fn(all_pidx)
+        else:
+            chunk = max(1, chunk_budget // nc)
+            chunk = min(P, 1 << (chunk.bit_length() - 1))  # pow2 divides P
+            outs = jax.lax.map(level_fn, all_pidx.reshape(-1, chunk))
+            outs = tuple(o.reshape((-1,) + o.shape[2:]) for o in outs)
+
+        level_c = outs[:4]
         if pre is not None:
             level_c = tuple(a + b for a, b in zip(level_c, pre))
         coeffs = level_c
-
-        # (c) inner far shells (k < cheb < c_min).
         if l < L:
-            # Defer one level down: expand at the child's children's
-            # centers (ratio tightens to ~√D/(2(2c−1))). The 2^D grandchild
-            # centers ride one batched local_coeffs call per parity.
-            h_next = tree.cell_sizes[l + 1].astype(dt)
-            gc_offs = jnp.stack(
-                [(jnp.asarray(_par_vec(pm2, dim), dt) - 0.5) * h_next
-                 for pm2 in range(nch)])  # [nch, D]
-            pre_par = []
-            for pm in range(nch):
-                sel = dfr_sel[pm]
-                child_center = parent_center + \
-                    (jnp.asarray(_par_vec(pm, dim), dt) - 0.5) * h_l
-                gc_centers = child_center[:, None, :] + gc_offs[None, :, :]
-                a0, J, H, K = local_coeffs(
-                    gc_centers,  # [P, nch, D]
-                    ccom[:, None, sel], cmass[:, None, sel],
-                    cquad[:, None, sel] if quad else None, order3=True)
-                pre_par.append((a0, J, H, K))  # each [P, nch, ·]
-            if dfr_sel[0].size or any(s.size for s in dfr_sel):
-                pre = tuple(
-                    jnp.stack([t[i] for t in pre_par], axis=1)
-                    .reshape(P * nch * nch, pre_par[0][i].shape[-1])
-                    for i in range(4))
-            else:
-                pre = None
-        else:
-            # Leaf level: the inner shells stay per-body. Static-select the
-            # padded per-parity subsets from the shared parent gather and
-            # interleave back to leaf-major Morton order.
-            md = dfr_idx.shape[1]
-            if md:
-                packs, quads = [], []
-                for pm in range(nch):
-                    sel = dfr_idx[pm]
-                    v = jnp.asarray(dfr_valid[pm], dt)
-                    pm_mass = cmass[:, sel] * v
-                    packs.append(jnp.concatenate(
-                        [ccom[:, sel], pm_mass[..., None]], axis=-1))
-                    if quad:
-                        quads.append(cquad[:, sel] * v[:, None])
-                dfr_pack = jnp.stack(packs, axis=1).reshape(
-                    P * nch, md, dim + 1)
-                if quad:
-                    dfr_quad = jnp.stack(quads, axis=1).reshape(
-                        P * nch, md, quads[0].shape[-1])
+            pre = outs[4:8] if len(outs) > 4 else None
+        elif md:
+            dfr_pack = outs[4]
+            if quad:
+                dfr_quad = outs[5]
 
     if coeffs is None:  # L < 2: no far field at all
         G = tree.num_leaf_cells
         coeffs = (jnp.zeros((G, dim), dt), jnp.zeros((G, nj), dt),
                   jnp.zeros((G, nh), dt), jnp.zeros((G, nk), dt))
     if dfr_pack is None:
-        dfr_pack = jnp.zeros((tree.num_leaf_cells, 0, dim + 1), dt)
+        dfr_pack = jnp.zeros((tree.num_leaf_cells, 0), dt)
     return coeffs, dfr_pack, dfr_quad

@@ -130,7 +130,7 @@ def let_bvh(
     batch: int = 128,
     frontier_width: Optional[int] = None,
     near_cap: Optional[int] = None,
-    bucket_headroom: float = 3.0,
+    bucket_headroom: Optional[float] = None,
     multipole: str = "quad",
     far_impl: str = "point",
 ) -> jax.Array:
@@ -161,8 +161,15 @@ def let_bvh(
             or (1 << (dim * L)) % nshard != 0:
         L += 1
     cc = (1 << (dim * L)) // nshard
-    H = pad_to_multiple(
-        max(8, math.ceil(bucket_headroom * n / nshard ** 2)), 8)
+    n_pad = pad_to_multiple(n, nshard * 8)
+    if bucket_headroom is None:
+        # Exact data probe (memoized device sync; see let_tree).
+        from .let_tree import exchange_bucket_peak_cached
+        H = pad_to_multiple(max(8, exchange_bucket_peak_cached(
+            positions, L, nshard, n_pad // nshard)), 8)
+    else:
+        H = pad_to_multiple(
+            max(8, math.ceil(bucket_headroom * n / nshard ** 2)), 8)
     ph = nshard * H
     key_bits = dim * MAX_BITS[dim]
     group_size = min(group_size, ph)
@@ -171,7 +178,6 @@ def let_bvh(
     if near_cap is None:
         near_cap = min(1024 if dim == 2 else 8192, 2 * ph)
 
-    n_pad = pad_to_multiple(n, nshard * 8)
     pad = n_pad - n
     if pad:
         # Padding bodies quantize into the far corner cell — harmless

@@ -56,12 +56,12 @@ def test_let_bvh_nondivisible_n(rng_key):
 
 def test_let_bvh_clustered_plummer(rng_key):
     # The radix BVH adapts inside each chip's chunk; a Plummer core must
-    # stay correct (the documented clustered-input cost is capacity, not
-    # accuracy).
+    # stay correct WITH DEFAULT KNOBS (the exchange bucket is sized by the
+    # exact data probe now — no hand-tuned bucket_headroom).
     sys, cfg = plummer_sphere(rng_key, 600, dtype=jnp.float64)
     want = brute_force_direct(sys.positions, sys.masses, cfg)
     got = let_bvh(sys.positions, sys.masses, cfg, mesh=make_mesh(),
-                  theta=0.25, bucket_headroom=8.0)
+                  theta=0.25)
     assert np.all(np.isfinite(np.asarray(got)))
     err = float(scale_normalized_error(got, want))
     assert err < 1e-3, err

@@ -85,3 +85,16 @@ def test_let_fmm_gate(rng_key):
                   order=8, leaf_level=3)
     err = float(scale_normalized_error(got, want))
     assert err < 1e-4, err
+
+
+def test_let_bh_clustered_plummer_default_knobs(rng_key):
+    """Plummer core through the LET BH path with NO hand-tuned knobs: the
+    exchange bucket is sized by the exact data probe, the halo list by the
+    exact geometric peak (VERDICT r2 weak item 5)."""
+    from nbody_tpu.models import plummer_sphere
+    sys, cfg = plummer_sphere(rng_key, 600, dtype=jnp.float64)
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = let_barnes_hut(sys.positions, sys.masses, cfg, mesh=make_mesh(),
+                         theta=0.25)
+    assert np.all(np.isfinite(np.asarray(got)))
+    assert float(scale_normalized_error(got, want)) < 1e-3

@@ -371,3 +371,40 @@ def test_bh_hier_matches_local_class_error(rng_key, dim):
         barnes_hut_grid(sys.positions, sys.masses, cfg, theta=0.25,
                         leaf_level=4, far_impl="hier"), want))
     assert e_hier < max(2.0 * e_local, 1e-4), (e_hier, e_local)
+
+
+def test_hier_chunked_sweep_matches_whole_level(rng_key):
+    """The lax.map parent-chunked downward sweep (OOM guard for huge
+    levels — the 46 GB tiled leaf-level gather at N=5e6 3D) is
+    bit-identical to the whole-level sweep."""
+    from nbody_tpu.ops.grid_tree import build_grid_tree
+    from nbody_tpu.ops.hier_far import hier_far_coeffs
+    from nbody_tpu.state import random_system
+    sys = random_system(rng_key, 4096, dim=3, dtype=jnp.float32)
+    tree = build_grid_tree(sys.positions, sys.masses, 4, 64, quad=True)
+    whole = hier_far_coeffs(tree, k=3)
+    # Budget below every level's P·nc forces the chunked path everywhere.
+    chunked = hier_far_coeffs(tree, k=3, chunk_budget=2744 * 8)
+    # Not bit-equal: XLA reassociates f32 sums differently for the two
+    # program shapes (measured max rel diff 7e-5 on ~1e-3 coeffs).
+    for a, b in zip(list(whole[0]) + [whole[1], whole[2]],
+                    list(chunked[0]) + [chunked[1], chunked[2]]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-8)
+
+
+def test_hier_wide_ring_no_double_count(rng_key):
+    """k ≥ 4 in 2D: every cell within Chebyshev k is NEAR — the hier far
+    field must not re-count shells < k+1 (the c_min clamp; unclamped this
+    was a 2.6e-2 error vs 4e-15 for far_impl='local')."""
+    from nbody_tpu.ops.brute_force import brute_force_direct
+    from nbody_tpu.ops.grid_tree import barnes_hut_grid
+    from nbody_tpu.state import random_system
+    from nbody_tpu.config import GravityConfig
+    from nbody_tpu.utils.accuracy import scale_normalized_error
+    sys_ = random_system(rng_key, 1000, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys_.positions, sys_.masses, cfg)
+    got = barnes_hut_grid(sys_.positions, sys_.masses, cfg, theta=0.125,
+                          leaf_level=3, far_impl="hier")
+    assert float(scale_normalized_error(got, want)) < 1e-6
