@@ -96,16 +96,54 @@ def speedup_table(agg: Dict[Key, dict],
     return out
 
 
+#: Where the reference suite's own aggregate lives, when present.  The
+#: overlay is purely optional — absent file ⇒ plots show our series only.
+REF_AGGREGATE = os.environ.get(
+    "NBODY_REF_AGGREGATE",
+    "/root/reference/nbody-sim-new/analysis/aggregated_results.csv")
+
+
+def load_reference_best(path: str = REF_AGGREGATE):
+    """Best (fastest valid) reference time per (Bodies, family, Dimension).
+
+    Families are the method-name prefixes (``BarnesHut_Parlay`` →
+    ``BarnesHut``); -1 failure sentinels are dropped, mirroring
+    ``load_results``.  Returns {} when the file is unavailable.
+    """
+    best: Dict[Tuple[int, str, int], Tuple[float, str]] = {}
+    try:
+        with open(path) as f:
+            for row in csv.DictReader(f):
+                try:
+                    t = float(row["Average Runtime (s)"])
+                    n = int(row["Bodies"])
+                    d = int(row["Dimension"])
+                except (KeyError, ValueError):
+                    continue
+                if t < 0:
+                    continue
+                fam = row["Method"].split("_")[0]
+                key = (n, fam, d)
+                if key not in best or t < best[key][0]:
+                    best[key] = (t, row["Method"])
+    except OSError:
+        return {}
+    return best
+
+
 def maybe_plot(agg: Dict[Key, dict], results_dir: str):
     """Runtime plots per dimension: log-log AND linear scale
     (``performance_plot_{2D,3D}.png`` + ``performance_plot_*_linear.png``
-    parity with the reference notebook cells 8-10)."""
+    parity with the reference notebook cells 8-10).  When the reference
+    suite's aggregate is readable, its best competitor per family is
+    overlaid as dashed lines so every win/loss is visible at a glance."""
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
     except ImportError:
         return
+    ref_best = load_reference_best()
     for dim in (2, 3):
         series: Dict[str, List[Tuple[int, float]]] = defaultdict(list)
         for (n, method, d), row in agg.items():
@@ -113,12 +151,21 @@ def maybe_plot(agg: Dict[Key, dict], results_dir: str):
                 series[method].append((n, row["Time(s)"]))
         if not series:
             continue
+        ref_series: Dict[str, List[Tuple[int, float]]] = defaultdict(list)
+        for (n, fam, d), (t, _m) in ref_best.items():
+            if d == dim:
+                ref_series[fam].append((n, t))
         for scale in ("log", "linear"):
             fig, ax = plt.subplots(figsize=(8, 5))
             for method, pts in sorted(series.items()):
                 pts.sort()
                 ax.plot([p[0] for p in pts], [p[1] for p in pts],
                         marker="o", label=method)
+            for fam, pts in sorted(ref_series.items()):
+                pts.sort()
+                ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                        linestyle="--", marker="x", alpha=0.6,
+                        label=f"ref best {fam}")
             if scale == "log":
                 ax.set_xscale("log")
                 ax.set_yscale("log")
