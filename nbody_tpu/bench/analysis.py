@@ -118,14 +118,14 @@ def load_reference_best(path: str = REF_AGGREGATE):
                     t = float(row["Average Runtime (s)"])
                     n = int(row["Bodies"])
                     d = int(row["Dimension"])
+                    method = row["Method"]
                 except (KeyError, ValueError):
                     continue
                 if t < 0:
                     continue
-                fam = row["Method"].split("_")[0]
-                key = (n, fam, d)
+                key = (n, method.split("_")[0], d)
                 if key not in best or t < best[key][0]:
-                    best[key] = (t, row["Method"])
+                    best[key] = (t, method)
     except OSError:
         return {}
     return best

@@ -27,9 +27,12 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_CSV = "/root/reference/nbody-sim-new/analysis/aggregated_results.csv"
+sys.path.insert(0, REPO)
+
+from nbody_tpu.bench.analysis import REF_AGGREGATE, load_reference_best
 
 FAMILY = {
     "BruteForce_JNP": "BruteForce",
@@ -50,30 +53,21 @@ def load_ours(path):
     return rows
 
 
-def load_ref(path):
-    """(bodies, family, dim) -> (best_time, best_method)."""
-    best = {}
-    with open(path) as f:
-        for r in csv.DictReader(f):
-            t = float(r["Average Runtime (s)"])
-            if t < 0:  # the reference records failures as -1 sentinels
-                continue
-            fam = r["Method"].split("_")[0]
-            key = (int(r["Bodies"]), fam, int(r["Dimension"]))
-            if key not in best or t < best[key][0]:
-                best[key] = (t, r["Method"])
-    return best
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ours", default=os.path.join(
         REPO, "artifacts", "results", "aggregated_results.csv"))
-    ap.add_argument("--ref", default=REF_CSV)
+    ap.add_argument("--ref", default=REF_AGGREGATE)
     args = ap.parse_args()
 
     ours = load_ours(args.ours)
-    ref = load_ref(args.ref)
+    # Shared loader (bench/analysis.py): best valid reference time per
+    # (Bodies, family, Dimension); {} when the file is unavailable.
+    ref = load_reference_best(args.ref)
+    if not ref:
+        print(f"reference aggregate not readable at {args.ref}; "
+              "nothing to compare against")
+        return 2
 
     losses = []
     uncontested = 0

@@ -96,32 +96,38 @@ def measure(name: str, system, cfg, steps: int) -> float:
     forces_fn = jittable_force_fn(name, system.positions, system.masses,
                                   cfg)
 
-    def run_k(k, dispatches=1):
+    def run_k(k, dispatches=1, warm=True):
         step_k = jax.jit(functools.partial(
             simulate, forces_fn=forces_fn, dt=1e-6, num_steps=k,
             integrator="euler"))
-        out, _ = step_k(system)  # compile + warmup
-        _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize
+        if warm:
+            out, _ = step_k(system)  # compile + warmup
+            _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize
         t0 = time.perf_counter()
         for _ in range(dispatches):
             out, _ = step_k(system)
             _ = float(jnp.sum(jnp.abs(out.positions)))
-        return (time.perf_counter() - t0) / (k * dispatches)
+        return time.perf_counter() - t0
 
     # Probe with one step, then pick the longest watchdog-safe scan and
     # split the remaining steps across repeat dispatches of that one
     # compiled program (round 2 silently recorded Steps=13/16 when the
     # budget truncated the single scan; the per-dispatch RTT amortizes to
     # <1% over a multi-second scan, so splitting keeps Steps honest).
+    # Exactly ``steps`` force evaluations are always timed: any remainder
+    # that doesn't divide into whole scans runs as one shorter scan (a
+    # second compile — only reachable when --steps is not a power of two,
+    # since power-of-two step counts split evenly).
     t1 = run_k(1)
     k_safe = max(1, min(steps, int(DISPATCH_BUDGET_S / max(t1, 1e-6))))
-    dispatches = 1
-    while -(-steps // dispatches) > k_safe:
-        dispatches *= 2
-    k = -(-steps // dispatches)
-    if k == 1 and dispatches == 1:
+    if k_safe == 1 and steps == 1:
         return t1, 1
-    return run_k(k, dispatches), k * dispatches
+    k = -(-steps // -(-steps // k_safe))  # even split: ceil(steps/ceil(steps/k_safe))
+    full, rem = divmod(steps, k)
+    total = run_k(k, full)
+    if rem:
+        total += run_k(rem)
+    return total / steps, steps
 
 
 def main() -> int:

@@ -43,7 +43,13 @@ def bench(t, s, n, dtype, reps=3, iters=64):
         def body(_, carry):
             a_c, acc = carry
             out = a_c @ b
-            acc = acc + out[0, 0]
+            # Consume EVERY output element (jnp.sum), not just out[0, 0]:
+            # with a single live element the algebraic simplifier's
+            # slice(dot)->dot(slice) rewrite could legally shrink the
+            # matmul to a length-s dot and the measured rate would be
+            # fiction. The full-output reduction is fused and negligible
+            # next to the matmul.
+            acc = acc + jnp.sum(out) * tiny
             # Feed the output back into `a` (data-dependency chain — XLA
             # cannot elide or parallelize the iterations).
             return a_c + acc * tiny, acc
