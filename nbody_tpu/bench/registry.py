@@ -76,12 +76,17 @@ def _bf_jnp(pos, mass, cfg, tree_cfg):
 
 @register("BruteForce_Pallas", "a", tpu_only=True)
 def _bf_pallas(pos, mass, cfg, tree_cfg):
-    from ..ops.pallas_brute import brute_force_pallas
     # Newton-3 symmetric round-robin kernel (1.46× the one-sided kernel at
-    # N=1M 2D) while its full-width VMEM source accumulator fits; the
-    # streaming one-sided kernel beyond.
-    mode = "symmetric" if pos.shape[0] <= 2_097_152 else "precise"
-    return brute_force_pallas(pos, mass, cfg, mode=mode)
+    # N=1M 2D) in one dispatch while that stays under the relay watchdog's
+    # kill bound (~2.9 s per (N/1M)²; 10.8 s measured-surviving, ~30 s
+    # not); the segmented driver beyond — same total arithmetic, split
+    # into ~1M-row Newton-3 dispatches. Covers the reference's CUDA rows
+    # at N ∈ {2e6, 5e6} (aggregated_results.csv: 34.4 s / 219.3 s).
+    if pos.shape[0] <= 1_048_576:
+        from ..ops.pallas_brute import brute_force_pallas
+        return brute_force_pallas(pos, mass, cfg, mode="symmetric")
+    from ..ops.pallas_brute import brute_force_pallas_segmented
+    return brute_force_pallas_segmented(pos, mass, cfg)
 
 
 @register("BruteForce_Ring", "a", multi_device_only=True)

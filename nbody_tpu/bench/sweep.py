@@ -36,9 +36,19 @@ def run_sweep(sizes=SWEEP_SIZES, accuracy_sizes=ACCURACY_SIZES,
     configs = [(n, d, False) for n in sizes for d in dims]
     configs += [(n, d, True) for n in accuracy_sizes for d in dims]
 
+    # Explicitly-named brute methods bypass the N gate (the CLI's
+    # `-m a` override, cli.py explicit_brute) — how the reference's CUDA
+    # rows at 2e6/5e6 got measured despite main.cpp:24.
+    explicit_brute = False
+    if method_names is not None:
+        from .registry import all_methods
+        _all = all_methods()
+        explicit_brute = any(
+            m in _all and _all[m].tier == "a" for m in method_names)
+
     for n, dim, accuracy in configs:
         cfg_tiers = tiers
-        if n > BRUTE_FORCE_N_GATE:
+        if n > BRUTE_FORCE_N_GATE and not explicit_brute:
             cfg_tiers = cfg_tiers.replace("a", "")  # main.cpp:24 gate
         methods = methods_for_tiers(cfg_tiers)
         if method_names is not None:

@@ -52,7 +52,11 @@ from .brute_force import _DIST2_GUARD
 from .grid_tree import _quad_pairs
 from .keys import MAX_BITS, hilbert_key
 
-_INVALID = jnp.int32(2_147_483_647)
+# NOTE: must stay a NumPy scalar, NOT jnp.int32 — a module-scope jnp op
+# eagerly initializes the default (axon TPU) backend at import time, which
+# killed the driver's bare `import __graft_entry__` two rounds running
+# (tests/test_import_no_backend.py guards the whole package against this).
+_INVALID = np.int32(2_147_483_647)
 
 
 @jax.tree_util.register_dataclass

@@ -677,3 +677,87 @@ def brute_force_pallas(
         f_sorted = _forces_impl(positions[order], masses[order], **kwargs)
         return jnp.zeros_like(f_sorted).at[order].set(f_sorted)
     return _forces_impl(positions, masses, **kwargs)
+
+
+# --- Watchdog-safe segmented driver (N > ~1M) --------------------------------
+
+@functools.partial(jax.jit, static_argnames=("softening", "g", "interpret"))
+def _seg_pair_forces(tpos, tmass, spos, smass, *, softening, g, interpret):
+    """Forces both halves of one unordered cross-segment pair receive."""
+    acc_t, part_s = pallas_sym_tile(tpos, tmass, spos, smass,
+                                    softening=softening, interpret=interpret)
+    g = jnp.float32(g)
+    return (g * tmass)[:, None] * acc_t, (g * smass)[:, None] * part_s
+
+
+@functools.partial(jax.jit, static_argnames=("softening", "g", "interpret"))
+def _seg_diag_forces(pos, mass, *, softening, g, interpret):
+    """Forces among one segment's own bodies (square Newton-3 kernel)."""
+    return _forces_impl(pos, mass, G=g, softening=softening,
+                        block_t=2048, block_s=16384, mode="symmetric",
+                        guard=float(softening) == 0.0, interpret=interpret)
+
+
+def brute_force_pallas_segmented(
+    positions: jax.Array,
+    masses: jax.Array,
+    config: GravityConfig = DEFAULT_GRAVITY,
+    num_segments: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exact all-pairs forces for N beyond the single-dispatch watchdog bound.
+
+    One Pallas dispatch over all N² pairs is ~2.9 s per (N/1M)² on a v5e
+    chip, and the axon relay's watchdog kills the TPU worker somewhere
+    between a measured-surviving 10.8 s dispatch and a ~30 s one (CLAUDE.md;
+    the BH 5e6 campaign hit this first). The reference's CUDA brute force
+    has the same all-pairs cost but no watchdog (main_cuda.cu:24-57 runs
+    219 s at N=5e6 uninterrupted). Here the sweep is segmented at the
+    DRIVER level, the grid-tree pattern (grid_tree_accel_sorted's
+    num_segments): bodies split into S row segments, forces accumulated
+    from S diagonal dispatches (square Newton-3 round-robin within a
+    segment, ``_kernel_symmetric``) plus S(S−1)/2 cross dispatches (the
+    rectangular Newton-3 tile ``_kernel_sym_tile`` — the symmetric
+    ppermute ring's per-chip engine, reused verbatim with both segments on
+    one chip). Every unordered pair is swept exactly once, so the total
+    arithmetic matches the single-dispatch symmetric kernel; only dispatch
+    overhead (~30 ms × S(S+1)/2) is added. Each dispatch shape is
+    identical, so one compile per kernel serves all segments.
+
+    Default ``num_segments`` = ceil(N / 2^20): ~1M-row segments keep every
+    dispatch at or under the measured-safe ~3 s class.
+    """
+    n, dim = positions.shape
+    if num_segments is None:
+        num_segments = max(1, -(-n // 1_048_576))
+    soft = float(config.softening)
+    g = float(config.G)
+    if num_segments <= 1:
+        return _seg_diag_forces(positions, masses, softening=soft, g=g,
+                                interpret=interpret)
+
+    t_seg = -(-(-(-n // num_segments)) // 128) * 128
+    num_segments = -(-n // t_seg)
+    n_pad = t_seg * num_segments
+
+    pos_pad = jnp.full((n_pad, dim), _PAD_POS, jnp.float32)
+    pos_pad = pos_pad.at[:n].set(positions.astype(jnp.float32))
+    mass_pad = jnp.zeros((n_pad,), jnp.float32).at[:n].set(
+        masses.astype(jnp.float32))
+    segs_pos = pos_pad.reshape(num_segments, t_seg, dim)
+    segs_mass = mass_pad.reshape(num_segments, t_seg)
+
+    forces = [
+        _seg_diag_forces(segs_pos[i], segs_mass[i], softening=soft, g=g,
+                         interpret=interpret)
+        for i in range(num_segments)
+    ]
+    for i in range(num_segments):
+        for j in range(i + 1, num_segments):
+            f_i, f_j = _seg_pair_forces(segs_pos[i], segs_mass[i],
+                                        segs_pos[j], segs_mass[j],
+                                        softening=soft, g=g,
+                                        interpret=interpret)
+            forces[i] = forces[i] + f_i
+            forces[j] = forces[j] + f_j
+    return jnp.concatenate(forces, axis=0)[:n]

@@ -166,3 +166,36 @@ def test_precise_small_n_not_overpadded(rng_key):
     want = brute_force_direct(sys.positions, sys.masses, cfg)
     err = float(scale_normalized_error(got, want))
     assert err < 1e-5, err
+
+
+@pytest.mark.parametrize("n,num_segments", [(500, 3), (384, 2), (129, 4)])
+def test_segmented_matches_oracle(rng_key, dim, n, num_segments):
+    """Watchdog-safe segmented driver ≡ direct sum, incl. non-divisible N
+    (the lax.dynamic_slice clamp class of bug is padding-sensitive)."""
+    from nbody_tpu.ops.pallas_brute import brute_force_pallas_segmented
+
+    sys = random_system(rng_key, n, dim=dim, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(
+        sys.positions.astype(jnp.float64),
+        sys.masses.astype(jnp.float64), cfg)
+    got = brute_force_pallas_segmented(sys.positions, sys.masses, cfg,
+                                       num_segments=num_segments,
+                                       interpret=True)
+    assert got.shape == (n, dim)
+    assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+def test_segmented_single_segment_is_symmetric_kernel(rng_key):
+    # num_segments=1 delegates to the square Newton-3 kernel (no tiles,
+    # no padding reshuffle); oracle-checked since sub-tile widths differ.
+    from nbody_tpu.ops.pallas_brute import brute_force_pallas_segmented
+
+    sys = random_system(rng_key, 256, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    want = brute_force_direct(
+        sys.positions.astype(jnp.float64),
+        sys.masses.astype(jnp.float64), cfg)
+    got = brute_force_pallas_segmented(sys.positions, sys.masses, cfg,
+                                       num_segments=1, interpret=True)
+    assert float(scale_normalized_error(got, want)) < 1e-4
