@@ -495,35 +495,42 @@ def pallas_local_accel(targets, src_pos, src_mass, softening):
 
 
 def _kernel_sym_tile(pm_ref, src_t_ref, out_t_ref, out_s_ref, *, dim,
-                     soft2, guard, s_sub):
-    """Rectangular Newton's-3rd-law tile: target block vs the full resident
-    source window, BOTH reductions from one pair sweep.
+                     soft2, guard, s_sub, block_s):
+    """Rectangular Newton's-3rd-law tile: target block × source block,
+    BOTH reductions from one pair sweep.
 
     The cross-chip sibling of ``_kernel_symmetric``: that kernel round-
     robins block pairs *within* one array; here the two blocks live on
     different chips (the symmetric ppermute ring computes each unordered
-    shard pair once), so the tile is a plain rectangle and the grid runs
-    over target sub-blocks only. q = u³·Δ is shared; the target side sums
-    m_s·q over lanes, the source side sums m_t·q over rows into a
-    window-wide VMEM accumulator (block index (0, 0), flushed once).
+    shard pair once — and the single-chip segmented driver reuses it with
+    both segments resident), so the sweep is a plain rectangle. The grid
+    is 2-D over (target block i, source block j) with j innermost, the
+    same shape that keeps ``_kernel_symmetric`` spill-free: each program
+    body unrolls only block_s/s_sub ≤ 8 sub-tiles (a full-width source
+    window unrolled ~50× blew past VMEM with 420 MB of register spills at
+    S=100k), out_t is revisited consecutively along j so it stays in
+    VMEM, and out_s is the usual full-width accumulator at block (0, 0),
+    flushed once at the end of the launch. q = u³·Δ is shared; the target
+    side sums m_s·q over lanes, the source side sums m_t·q over rows.
 
     Refs:
       pm_ref:    (B, 4) target positions+mass [x, y, z|0, m].
-      src_t_ref: (8, S) transposed sources, rows 0..dim-1 coords, row 3 m.
+      src_t_ref: (8, block_s) transposed source block, rows 0..dim-1
+                 coords, row 3 m.
       out_t_ref: (B, 4)  Σ_s m_s·u³·Δ      (target accel, Δ = x_s − x_t).
       out_s_ref: (4, S) −Σ_t m_t·u³·Δ      (source accel contribution).
     """
     i = pl.program_id(0)
+    j = pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(i == 0, j == 0))
     def _():
         out_s_ref[:] = jnp.zeros_like(out_s_ref)
 
     pm = pm_ref[:]
     m_t = pm[:, 3:4]  # (B, 1)
-    s_win = src_t_ref.shape[1]
     cols_acc = None
-    for u0 in range(0, s_win, s_sub):
+    for u0 in range(0, block_s, s_sub):
         diffs = []
         d2 = jnp.float32(soft2)
         for d in range(dim):
@@ -544,10 +551,18 @@ def _kernel_sym_tile(pm_ref, src_t_ref, out_t_ref, out_s_ref, *, dim,
                 for d in range(dim)]
         rows += [jnp.zeros_like(rows[0])] * (4 - dim)
         srow = jnp.concatenate(rows, axis=0)  # (4, s_sub)
-        lanes = pl.ds(u0, s_sub)
+        lanes = pl.ds(j * block_s + u0, s_sub)
         out_s_ref[:, lanes] = out_s_ref[:, lanes] - srow
     cols_acc += [jnp.zeros_like(cols_acc[0])] * (4 - dim)
-    out_t_ref[:] = jnp.concatenate(cols_acc, axis=1)
+    contrib = jnp.concatenate(cols_acc, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_t_ref[:] = contrib
+
+    @pl.when(j != 0)
+    def _():
+        out_t_ref[:] = out_t_ref[:] + contrib
 
 
 def pallas_sym_tile(
@@ -557,6 +572,7 @@ def pallas_sym_tile(
     smass: jax.Array,
     softening: float = 0.0,
     block_t: int = 512,
+    block_s: int = 16384,
     s_sub: int = 2048,
     guard: bool | None = None,
     interpret: bool = False,
@@ -564,10 +580,14 @@ def pallas_sym_tile(
     """Newton-3 rectangular tile for DISJOINT body blocks (fp32).
 
     Returns (acc_t [T, D], part_s [S, D]) in acceleration units — the
-    SymAccelFn engine of the symmetric ppermute ring (parallel/ring.py):
-    acc_t is the usual per-target Σ m_s·Δ/r³ and part_s the sources' share
-    −Σ m_t·Δ/r³, so each unordered cross-chip block pair is swept once.
-    Matches ``brute_force._accel_rows_sym`` to fp rounding.
+    SymAccelFn engine of the symmetric ppermute ring (parallel/ring.py)
+    and of the single-chip segmented driver: acc_t is the usual
+    per-target Σ m_s·Δ/r³ and part_s the sources' share −Σ m_t·Δ/r³, so
+    each unordered cross-block pair is swept once. Matches
+    ``brute_force._accel_rows_sym`` to fp rounding. The 2-D grid keeps
+    each program's unroll bounded at block_s/s_sub sub-tiles (see
+    ``_kernel_sym_tile``) so million-row source windows compile without
+    register-spill VMEM blowups.
     """
     t, dim = tpos.shape
     s = spos.shape[0]
@@ -578,7 +598,10 @@ def pallas_sym_tile(
     block_t = min(block_t, max(8, t))
     t_pad = -(-t // block_t) * block_t
     s_sub = min(s_sub, max(128, s))
-    s_pad = -(-s // s_sub) * s_sub
+    block_s = min(block_s, max(s_sub, -(-s // s_sub) * s_sub))
+    if block_s % s_sub:
+        block_s = -(-block_s // s_sub) * s_sub
+    s_pad = -(-s // block_s) * block_s
 
     pm = jnp.zeros((t_pad, 4), jnp.float32)
     pm = pm.at[:t, :dim].set(tpos)
@@ -592,26 +615,26 @@ def pallas_sym_tile(
 
     kernel = functools.partial(
         _kernel_sym_tile, dim=dim, soft2=float(softening) ** 2,
-        guard=guard, s_sub=s_sub)
+        guard=guard, s_sub=s_sub, block_s=block_s)
     out_t, out_s = pl.pallas_call(
         kernel,
-        grid=(t_pad // block_t,),
+        grid=(t_pad // block_t, s_pad // block_s),
         in_specs=[
-            pl.BlockSpec((block_t, 4), lambda i: (i, 0),
+            pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, s_pad), lambda i: (0, 0),
+            pl.BlockSpec((8, block_s), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((block_t, 4), lambda i: (i, 0),
+            pl.BlockSpec((block_t, 4), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, s_pad), lambda i: (0, 0),
+            pl.BlockSpec((4, s_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((t_pad, 4), jnp.float32),
                    jax.ShapeDtypeStruct((4, s_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(

@@ -76,9 +76,13 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=4)
     ap.add_argument("--sizes", default=None)
     ap.add_argument("--dims", default="2,3")
-    ap.add_argument("--run-prefix", default="r3",
+    ap.add_argument("--run-prefix", default="r4",
                     help="run-id prefix; files are named "
                          "run_<prefix>{a,f}p<pass>_<method>_N_<n>_<d>D.csv")
+    ap.add_argument("--methods", default=None,
+                    help="comma list restricting the campaign to these "
+                         "registry methods (e.g. a refresh of only the "
+                         "tiers whose machinery changed this round)")
     ap.add_argument("--no-brute-large", action="store_true",
                     help="skip the BruteForce_Pallas 2e6/5e6 chunks (the "
                          "reference's '-m a' override rows — its CUDA CSV "
@@ -93,11 +97,18 @@ def main() -> int:
     sizes = (tuple(int(float(s)) for s in args.sizes.split(","))
              if args.sizes else SIZES)
     dims = tuple(int(d) for d in args.dims.split(","))
+    methods = METHODS
+    if args.methods:
+        keep = set(args.methods.split(","))
+        unknown = keep - {name for name, _ in METHODS}
+        if unknown:
+            raise SystemExit(f"unknown --methods: {sorted(unknown)}")
+        methods = tuple((n, t) for n, t in METHODS if n in keep)
 
     chunks = []  # (n, dim, accuracy, method)
     for n in sorted(sizes):
         for d in dims:
-            for name, tier in METHODS:
+            for name, tier in methods:
                 if tier == "a" and n > BRUTE_GATE:
                     # Reference CLI gates brute above 1e6 (main.cpp:24) but
                     # its shipped CSV includes CUDA rows at 2e6/5e6 via the
@@ -109,7 +120,7 @@ def main() -> int:
         if n not in ACCURACY_SIZES:
             continue
         for d in dims:
-            for name, tier in METHODS:
+            for name, tier in methods:
                 chunks.append((n, d, True, name))
 
     results_dir_abs = os.path.join(REPO, args.results_dir)
