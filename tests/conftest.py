@@ -30,6 +30,22 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Release compiled executables after each test module.
+
+    On a 1-CPU box the full suite deterministically segfaults inside
+    XLA:CPU's compiler (backend_compile_and_load) at the ~192nd test —
+    the same program compiles fine in a fresh process, so the trigger is
+    cumulative in-process JIT state, not the program. Dropping the
+    executable caches between modules keeps the resident LLVM JIT state
+    bounded. (jax.clear_caches is cheap relative to the suite; recompiles
+    within a module are unaffected.)
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng_key():
     return jax.random.key(0)
