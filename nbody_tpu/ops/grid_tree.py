@@ -1104,6 +1104,15 @@ def barnes_hut_grid(
         # accuracy held (99.60/99.69% reference metric); k=1 degenerates
         # (every V-shell inside the deferral gate), so θ=0.5 keeps "local".
         far_impl = "hier" if k >= 2 else "local"
+        if far_impl == "hier" and dim == 3 and n >= 4_000_000:
+            # hier's downward sweep gathers each level's candidate rings
+            # whole-level (chunked to 16M rows, but the per-chunk packs +
+            # quad + L2L transients stack up); at L=6 3D / N=5e6 the r4
+            # sweep died with RESOURCE_EXHAUSTED on a 16 GB chip. The
+            # cell->cell local expansion keeps all far-field transients
+            # per-leaf-batch-bounded and was the measured 3D winner at
+            # this scale before hier landed (ROADMAP 0b).
+            far_impl = "local"
     num_segments = 1
     if dim == 3 and k >= 3 and n >= 2_000_000:
         # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the

@@ -565,6 +565,17 @@ def _kernel_sym_tile(pm_ref, src_t_ref, out_t_ref, out_s_ref, *, dim,
         out_t_ref[:] = out_t_ref[:] + contrib
 
 
+#: Per-pallas_call row cap for the cross tile (targets AND sources). The
+#: kernel keeps the full-width (4, s_pad) source accumulator VMEM-resident
+#: for the whole launch, and Mosaic's scoped-VMEM budget also has to fit
+#: the (block_t, s_sub) kernel-body temporaries — at ~1M-row 3D blocks the
+#: total hit 122.8 MB against the 100 MB limit and the compile FAILED
+#: (r4 sweep, BruteForce_Pallas 2e6/5e6 3D; 2D squeaked under). 512K-row
+#: chunks halve every contributor; oversized calls are split below into
+#: chunk × chunk sub-calls inside the same trace (no extra dispatches).
+_SYM_TILE_CHUNK = 524_288
+
+
 def pallas_sym_tile(
     tpos: jax.Array,
     tmass: jax.Array,
@@ -573,9 +584,10 @@ def pallas_sym_tile(
     softening: float = 0.0,
     block_t: int = 512,
     block_s: int = 16384,
-    s_sub: int = 2048,
+    s_sub: int | None = None,
     guard: bool | None = None,
     interpret: bool = False,
+    chunk: int = _SYM_TILE_CHUNK,
 ):
     """Newton-3 rectangular tile for DISJOINT body blocks (fp32).
 
@@ -587,10 +599,35 @@ def pallas_sym_tile(
     ``brute_force._accel_rows_sym`` to fp rounding. The 2-D grid keeps
     each program's unroll bounded at block_s/s_sub sub-tiles (see
     ``_kernel_sym_tile``) so million-row source windows compile without
-    register-spill VMEM blowups.
+    register-spill VMEM blowups; blocks beyond ``chunk`` rows are split
+    into chunked sub-calls (see ``_SYM_TILE_CHUNK``). ``s_sub=None``
+    picks 2048 lanes in 2D and 1024 in 3D (the 3D body carries ~1.5× the
+    (block_t, s_sub) temporaries; the narrower sub-tile keeps its
+    scoped-VMEM footprint in the measured-safe 2D class).
     """
     t, dim = tpos.shape
     s = spos.shape[0]
+    if s_sub is None:
+        s_sub = 2048 if dim == 2 else 1024
+    if t > chunk or s > chunk:
+        n_s = -(-s // chunk)
+        acc_rows = []
+        parts = [None] * n_s
+        for t0 in range(0, t, chunk):
+            tp, tm = tpos[t0:t0 + chunk], tmass[t0:t0 + chunk]
+            acc = None
+            for k in range(n_s):
+                s0 = k * chunk
+                a, p = pallas_sym_tile(
+                    tp, tm, spos[s0:s0 + chunk], smass[s0:s0 + chunk],
+                    softening=softening, block_t=block_t, block_s=block_s,
+                    s_sub=s_sub, guard=guard, interpret=interpret,
+                    chunk=chunk)
+                acc = a if acc is None else acc + a
+                parts[k] = p if parts[k] is None else parts[k] + p
+            acc_rows.append(acc)
+        return (jnp.concatenate(acc_rows, axis=0),
+                jnp.concatenate(parts, axis=0))
     tpos = tpos.astype(jnp.float32)
     spos = spos.astype(jnp.float32)
     if guard is None:

@@ -97,6 +97,26 @@ def test_pallas_sym_tile_interpret(rng_key):
                                    rtol=2e-5, atol=2e-5 * scale)
 
 
+def test_pallas_sym_tile_chunked_matches_unchunked(rng_key):
+    """Forcing the VMEM-safety row chunking (chunk < rows, both axes,
+    non-divisible tails) must not change either output: the r4 sweep's
+    BruteForce_Pallas 2e6/5e6 3D compile OOMed scoped VMEM at ~1M-row
+    tiles, fixed by splitting oversized tiles into chunked sub-calls."""
+    from nbody_tpu.ops.brute_force import _accel_rows_sym
+    from nbody_tpu.ops.pallas_brute import pallas_sym_tile
+    sys = random_system(rng_key, 300, dim=3, dtype=jnp.float32)
+    t_pos, s_pos = sys.positions[:130], sys.positions[130:]
+    t_m, s_m = sys.masses[:130], sys.masses[130:]
+    want_t, want_s = _accel_rows_sym(t_pos, t_m, s_pos, s_m, 0.0)
+    got_t, got_s = pallas_sym_tile(t_pos, t_m, s_pos, s_m, softening=0.0,
+                                   block_t=32, s_sub=64, interpret=True,
+                                   chunk=64)
+    for got, want in ((got_t, want_t), (got_s, want_s)):
+        scale = float(np.abs(np.asarray(want)).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5 * scale)
+
+
 def test_ring_symmetric_with_pallas_sym_engine(rng_key):
     """End-to-end symmetric ring with the Pallas sym tile (interpret) as
     the engine on the 8-device CPU mesh."""
