@@ -22,16 +22,23 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
+
+jax.config.update("jax_enable_x64", True)  # the sampled oracle is f64
+
 import jax.numpy as jnp
 import numpy as np
 
 import nbody_tpu as nb
 from nbody_tpu.models import plummer_sphere
 from nbody_tpu.ops.bvh import bvh_forces
-from nbody_tpu.ops.grid_tree import auto_leaf_level, compute_capacity
+from nbody_tpu.ops.grid_tree import (auto_leaf_level, barnes_hut_grid,
+                                     compute_capacity)
 
 
 def sampled_oracle_error(positions, masses, forces, cfg, samples: int = 512):
@@ -82,8 +89,8 @@ def main() -> int:
     level = auto_leaf_level(n, dim)
     cap = compute_capacity(sys.positions, level)
     try:
-        nb.barnes_hut_grid(sys.positions, sys.masses, cfg,
-                           theta=args.theta, layout="dense")
+        barnes_hut_grid(sys.positions, sys.masses, cfg,
+                        theta=args.theta, layout="dense")
         grid_refused = False
     except ValueError as e:
         grid_refused = "bvh_forces" in str(e)
@@ -94,7 +101,7 @@ def main() -> int:
     bvh_err = sampled_oracle_error(sys.positions, sys.masses, bvh_out, cfg)
 
     # 3. The sparse grid fallback through the public driver (layout=auto).
-    sp_out, sp_s = timed(lambda: nb.barnes_hut_grid(
+    sp_out, sp_s = timed(lambda: barnes_hut_grid(
         sys.positions, sys.masses, cfg, theta=args.theta))
     sp_err = sampled_oracle_error(sys.positions, sys.masses, sp_out, cfg)
 
