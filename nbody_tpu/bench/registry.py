@@ -26,6 +26,14 @@ MethodFn = Callable[[jax.Array, jax.Array, GravityConfig, TreeConfig],
                     jax.Array]
 
 
+# hyper(n, dim, gravity_cfg, tree_cfg) -> {param: value} — the ACTUAL
+# hyperparameters the method fn will resolve for this cell, so every run
+# artifact records its own configuration (VERDICT r4 missing 2: committed
+# rows were not reproducible from their logs — e.g. README said FMM
+# "(order 5)" while this registry ran order 8).
+HyperFn = Callable[[int, int, GravityConfig, TreeConfig], dict]
+
+
 @dataclasses.dataclass(frozen=True)
 class Method:
     name: str
@@ -33,17 +41,24 @@ class Method:
     fn: MethodFn
     tpu_only: bool = False
     multi_device_only: bool = False
+    hyper: Optional[HyperFn] = None
+
+    def hyperparams(self, n: int, dim: int, cfg: GravityConfig,
+                    tree_cfg: TreeConfig) -> dict:
+        return self.hyper(n, dim, cfg, tree_cfg) if self.hyper else {}
 
 
 _REGISTRY: Dict[str, Method] = {}
 
 
 def register(name: str, tier: str, tpu_only: bool = False,
-             multi_device_only: bool = False):
+             multi_device_only: bool = False,
+             hyper: Optional[HyperFn] = None):
     def deco(fn: MethodFn) -> MethodFn:
         _REGISTRY[name] = Method(name=name, tier=tier, fn=fn,
                                  tpu_only=tpu_only,
-                                 multi_device_only=multi_device_only)
+                                 multi_device_only=multi_device_only,
+                                 hyper=hyper)
         return fn
     return deco
 
@@ -68,13 +83,22 @@ def all_methods():
 
 # --- Tier a: brute force -----------------------------------------------------
 
-@register("BruteForce_JNP", "a")
+def _bf_pallas_hyper(n, dim, cfg, tree_cfg):
+    if n <= 1_048_576:
+        return {"kernel": "pallas_symmetric", "num_segments": 1}
+    return {"kernel": "pallas_segmented",
+            "num_segments": max(1, -(-n // 1_048_576))}
+
+
+@register("BruteForce_JNP", "a",
+          hyper=lambda n, d, c, t: {"impl": "jnp_blocked",
+                                    "block_size": 1024})
 def _bf_jnp(pos, mass, cfg, tree_cfg):
     from ..ops.brute_force import brute_force_blocked
     return brute_force_blocked(pos, mass, cfg, block_size=1024)
 
 
-@register("BruteForce_Pallas", "a", tpu_only=True)
+@register("BruteForce_Pallas", "a", tpu_only=True, hyper=_bf_pallas_hyper)
 def _bf_pallas(pos, mass, cfg, tree_cfg):
     # Newton-3 symmetric round-robin kernel (1.46× the one-sided kernel at
     # N=1M 2D) in one dispatch while that stays under the relay watchdog's
@@ -97,13 +121,22 @@ def _bf_ring(pos, mass, cfg, tree_cfg):
 
 # --- Tier b: Barnes-Hut ------------------------------------------------------
 
-@register("BarnesHut_Grid", "b")
+def _bh_hyper(theta_of):
+    def hyper(n, dim, cfg, tree_cfg):
+        from ..ops.grid_tree import resolve_bh_params
+        p = dict(resolve_bh_params(n, dim, theta_of(cfg)))
+        p["layout"] = "auto"
+        return p
+    return hyper
+
+
+@register("BarnesHut_Grid", "b", hyper=_bh_hyper(lambda c: c.theta))
 def _bh_grid(pos, mass, cfg, tree_cfg):
     from ..ops.grid_tree import barnes_hut_grid
     return barnes_hut_grid(pos, mass, cfg, theta=cfg.theta)
 
 
-@register("BarnesHut_Grid_Theta05", "b")
+@register("BarnesHut_Grid_Theta05", "b", hyper=_bh_hyper(lambda c: 0.5))
 def _bh_grid_05(pos, mass, cfg, tree_cfg):
     from ..ops.grid_tree import barnes_hut_grid
     return barnes_hut_grid(pos, mass, cfg, theta=0.5)
@@ -130,7 +163,11 @@ def _bvh_sharded(pos, mass, cfg, tree_cfg):
                        leaf_size=tree_cfg.max_bodies_per_leaf)
 
 
-@register("BVH_Radix", "h")
+@register("BVH_Radix", "h",
+          hyper=lambda n, d, c, t: {
+              "theta": c.theta, "leaf_size": t.max_bodies_per_leaf,
+              "multipole": "quad", "far_impl": "point",
+              "group_size": min(1024, max(1, n))})
 def _bvh_radix(pos, mass, cfg, tree_cfg):
     from ..ops.bvh import bvh_forces
     return bvh_forces(pos, mass, cfg,
@@ -139,7 +176,15 @@ def _bvh_radix(pos, mass, cfg, tree_cfg):
 
 # --- Tier f: FMM -------------------------------------------------------------
 
-@register("FMM_Chebyshev", "f")
+def _fmm_hyper(n, dim, cfg, tree_cfg):
+    from ..ops.grid_tree import auto_leaf_level
+    return {"order": min(tree_cfg.order, 8),
+            "leaf_level": auto_leaf_level(n, dim),
+            "leaf_batch": 256 if (dim == 3 and n >= 5_000_000) else 1024,
+            "layout": "auto"}
+
+
+@register("FMM_Chebyshev", "f", hyper=_fmm_hyper)
 def _fmm_cheb(pos, mass, cfg, tree_cfg):
     from ..ops.fmm import fmm_forces
     return fmm_forces(pos, mass, cfg, order=min(tree_cfg.order, 8))

@@ -845,6 +845,7 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
                            num_segments: int = 1,
                            segment_index: Optional[jax.Array] = None,
                            far_impl: str = "point",
+                           hier_coeffs=None,
                            _debug_skip: str = "") -> jax.Array:
     """Barnes-Hut accelerations for all (sorted) bodies: [N, D], un-G-scaled.
 
@@ -855,6 +856,12 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     first correction, cutting the MAC error by ~(cell/dist)¹ ≈ 4-8×).
     Near field: leaf P2P over the (2k+1)^D neighborhood. Batched over
     dense leaf cells.
+
+    ``hier_coeffs``: optional precomputed downward-sweep output (the
+    4-tuple :func:`~nbody_tpu.ops.hier_far.hier_far_coeffs` returns with
+    ``defer="gather"``). Lets the segmented N≥4M driver run the sweep
+    ONCE instead of once per segment dispatch; implies the traversal-side
+    gather mode for the leaf-level inner far shells.
 
     Multi-chip: when called inside ``shard_map`` with ``shard_axis`` set,
     each chip evaluates its contiguous chunk of dense leaf cells (a spatial
@@ -906,18 +913,44 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     # expansion plus the per-body inner shells, carried into the map as xs.
     hier_on = far_impl == "hier" and "far" not in _debug_skip
     hier_xs = ()
+    hier_gather = False
+    hier_tables = None
     if hier_on:
-        from .hier_far import hier_far_coeffs
-        h_coeffs, h_dp, h_dq = hier_far_coeffs(tree, k, multipole=multipole)
+        from .hier_far import hier_far_coeffs, leaf_defer_tables
+        offs_np_h, valid_np_h = leaf_defer_tables(dim, k)
+        md_h = offs_np_h.shape[1]
+        nq_h = len(_quad_pairs(dim)) if multipole == "quad" else 0
+        # Sweep-side "pack" mode materializes [G, md·(D+1)] (+ [G, md·nq])
+        # per-leaf deferred-shell tensors — ~4 GB at N=5e6 3D L=6, whose
+        # chunked-stack intermediates take (8,128) tile padding on top:
+        # the round-4 RESOURCE_EXHAUSTED. Above ~1 GB estimated, switch to
+        # "gather": the sweep emits only the [G, ~22] Taylor coefficients
+        # and the traversal gathers each leaf's deferred cells itself
+        # (static per-parity offset tables, the far_field_rings pattern).
+        est_pack_bytes = num_leaves * md_h * (dim + 1 + nq_h) * 4
+        hier_gather = (hier_coeffs is not None
+                       or est_pack_bytes > 1 << 30)
+        if hier_coeffs is not None:
+            h_coeffs, h_dp, h_dq = hier_coeffs, None, None
+        else:
+            h_coeffs, h_dp, h_dq = hier_far_coeffs(
+                tree, k, multipole=multipole,
+                defer="gather" if hier_gather else "pack")
+        if hier_gather and md_h:
+            hier_tables = (jnp.asarray(offs_np_h),
+                           jnp.asarray(valid_np_h,
+                                       tree.pos_sorted.dtype))
         chunk0_h = all_leaf_ids[0]
 
         def _chunk(x):
             part = jax.lax.dynamic_slice_in_dim(x, chunk0_h, my_leaves)
             return part.reshape((nb, leaf_batch) + part.shape[1:])
 
-        hier_xs = tuple(_chunk(x) for x in h_coeffs) + (_chunk(h_dp),)
-        if h_dq is not None:
-            hier_xs = hier_xs + (_chunk(h_dq),)
+        hier_xs = tuple(_chunk(x) for x in h_coeffs)
+        if not hier_gather:
+            hier_xs = hier_xs + (_chunk(h_dp),)
+            if h_dq is not None:
+                hier_xs = hier_xs + (_chunk(h_dq),)
 
     def one_batch(args):
         """args: ([B] dense leaf ids, *hier per-leaf tensors when hier)."""
@@ -932,16 +965,42 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
         # --- Far field: V-list per level (shared helper) ---------------
         if hier_on:
             from .local_expansion import eval_local
-            a0_b, J_b, H_b, K_b, dp_b = extra[:5]
+            a0_b, J_b, H_b, K_b = extra[:4]
             leaf_xy_h = cell_coords(leaf_ids_b.astype(jnp.uint32), dim)
             center = tree.lo + (leaf_xy_h.astype(tree.pos_sorted.dtype)
                                 + 0.5) * tree.cell_sizes[L]
             acc = acc + eval_local(tpos - center[:, None, :],
                                    a0_b, J_b, H_b, K_b)
-            if dp_b.shape[1]:  # per-body inner far shells (flat-packed —
-                # [G, md·4] buffers dodge the 32× (8,128) tile padding of
-                # a [G, md, 4] layout; reshape per batch is register-local)
-                dp_b = dp_b.reshape(B, -1, dim + 1)
+            if hier_gather and hier_tables is not None:
+                # Per-body inner far shells, traversal-side: gather each
+                # leaf's deferred cells (static per-parity offsets in leaf
+                # units — leaf_defer_tables) from the leaf-level summary
+                # table, per batch. Same physics as the sweep-side pack
+                # tensors; sized [B, md, ·] instead of [G, md·(D+1)].
+                offs_t, valid_t = hier_tables
+                pm_b = (leaf_ids_b & ((1 << dim) - 1)).astype(jnp.int32)
+                dxy = leaf_xy_h.astype(jnp.int32)[:, None, :] \
+                    + offs_t[pm_b]  # [B, md, D]
+                d_ok = jnp.all((dxy >= 0) & (dxy < (1 << L)), axis=-1)
+                d_ids = morton_key_from_coords(
+                    jnp.clip(dxy, 0, (1 << L) - 1).astype(jnp.uint32)
+                    .reshape(-1, dim), L).astype(jnp.int32)\
+                    .reshape(B, -1)
+                dpack = tree.level_pack[L][d_ids]  # [B, md, 4]
+                dmass = dpack[..., 3] * valid_t[pm_b] * d_ok
+                if multipole == "quad":
+                    dq = tree.level_quad[L][d_ids] \
+                        * (valid_t[pm_b] * d_ok)[..., None]
+                    acc = acc + _quad_cell_accel(
+                        tpos, dpack[..., :dim], dmass, dq)
+                else:
+                    acc = acc + _point_mass_accel(
+                        tpos, dpack[..., :dim], dmass, 0.0)
+            elif not hier_gather and extra[4].shape[1]:
+                # per-body inner far shells (flat-packed — [G, md·4]
+                # buffers dodge the 32× (8,128) tile padding of a
+                # [G, md, 4] layout; reshape per batch is register-local)
+                dp_b = extra[4].reshape(B, -1, dim + 1)
                 if multipole == "quad":
                     dq_b = extra[5].reshape(B, dp_b.shape[1], -1)
                     acc = acc + _quad_cell_accel(
@@ -1025,6 +1084,13 @@ def grid_tree_accel_sorted(tree: GridTree, k: int = 1,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("k", "multipole"))
+def _hier_sweep_jit(tree, k: int, multipole: str):
+    """Coefficients-only downward sweep (one dispatch, segment-shared)."""
+    from .hier_far import hier_far_coeffs
+    return hier_far_coeffs(tree, k, multipole=multipole, defer="gather")[0]
+
+
 def theta_to_ring(theta: float) -> int:
     """Opening angle → ring radius: θ_eff = 1/(k+1) ≤ θ."""
     import math
@@ -1055,6 +1121,52 @@ def _bh_grid_fused(positions, masses, g, *, leaf_level, capacity, k,
         p2p_impl=p2p_impl, multipole=multipole, far_impl=far_impl)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc
+
+
+def resolve_bh_params(n: int, dim: int, theta: float,
+                      far_impl: Optional[str] = None,
+                      leaf_level: Optional[int] = None,
+                      leaf_batch: int = 512,
+                      multipole: str = "quad") -> dict:
+    """Resolve every static Barnes-Hut driver decision for (n, dim, θ).
+
+    Single source of truth shared by :func:`barnes_hut_grid` and the
+    bench registry's hyperparameter provenance (VERDICT r4 missing 2: the
+    committed run files recorded method/N/dim/time only, so the tier
+    configuration that produced a row was not recoverable from the
+    artifact). Data-dependent decisions (the dense/sparse ``layout=auto``
+    capacity probe) are NOT resolved here and are recorded as "auto".
+    """
+    k = theta_to_ring(theta)
+    if far_impl is None:
+        # Measured defaults (v5e, round 3): "hier" at wide rings — 3D
+        # θ=0.25 full step 0.602→0.422 s at 1e5, 4.67→2.76 s at 5e5,
+        # accuracy held (99.60/99.69% reference metric); k=1 degenerates
+        # (every V-shell inside the deferral gate), so θ=0.5 keeps "local".
+        # (Round 4's 3D N≥4M hier→local downgrade is retired: the L=6 3D
+        # RESOURCE_EXHAUSTED was the sweep's [G, md·(D+1)] deferred-shell
+        # pack outputs, which grid_tree_accel_sorted now sidesteps via the
+        # footprint-gated defer="gather" mode — see hier_far.py.)
+        far_impl = "hier" if k >= 2 else "local"
+    num_segments = 1
+    if dim == 3 and k >= 3 and n >= 2_000_000:
+        # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the
+        # default 512-leaf batches crashed the remote compiler
+        # (tpu_compile_helper exit 1, N=2e6 3D theta=0.25 in the round-2
+        # sweep) — smaller batches shrink every per-level intermediate.
+        # But 128 made the single dispatch long enough to trip the TPU
+        # watchdog at 5e6 ("TPU worker crashed"); 256 is the middle.
+        leaf_batch = min(leaf_batch, 256)
+        if n >= 4_000_000:
+            # Even at 256 the fused sweep is ONE ~30 s dispatch at N=5e6
+            # and the watchdog kills the worker (2e6's 10.8 s passes);
+            # split into bounded dispatches (one compile, traced index).
+            num_segments = 4
+    if leaf_level is None:
+        leaf_level = auto_leaf_level(n, dim, k=k)
+    return {"theta": theta, "k": k, "far_impl": far_impl,
+            "multipole": multipole, "leaf_level": leaf_level,
+            "leaf_batch": leaf_batch, "num_segments": num_segments}
 
 
 def barnes_hut_grid(
@@ -1097,38 +1209,12 @@ def barnes_hut_grid(
     """
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
-    k = theta_to_ring(theta)
-    if far_impl is None:
-        # Measured defaults (v5e, round 3): "hier" at wide rings — 3D
-        # θ=0.25 full step 0.602→0.422 s at 1e5, 4.67→2.76 s at 5e5,
-        # accuracy held (99.60/99.69% reference metric); k=1 degenerates
-        # (every V-shell inside the deferral gate), so θ=0.5 keeps "local".
-        far_impl = "hier" if k >= 2 else "local"
-        if far_impl == "hier" and dim == 3 and n >= 4_000_000:
-            # hier's downward sweep gathers each level's candidate rings
-            # whole-level (chunked to 16M rows, but the per-chunk packs +
-            # quad + L2L transients stack up); at L=6 3D / N=5e6 the r4
-            # sweep died with RESOURCE_EXHAUSTED on a 16 GB chip. The
-            # cell->cell local expansion keeps all far-field transients
-            # per-leaf-batch-bounded and was the measured 3D winner at
-            # this scale before hier landed (ROADMAP 0b).
-            far_impl = "local"
-    num_segments = 1
-    if dim == 3 and k >= 3 and n >= 2_000_000:
-        # 3D k=3 has 2744 V-list candidates/leaf/level; at N >= 2e6 the
-        # default 512-leaf batches crashed the remote compiler
-        # (tpu_compile_helper exit 1, N=2e6 3D theta=0.25 in the round-2
-        # sweep) — smaller batches shrink every per-level intermediate.
-        # But 128 made the single dispatch long enough to trip the TPU
-        # watchdog at 5e6 ("TPU worker crashed"); 256 is the middle.
-        leaf_batch = min(leaf_batch, 256)
-        if n >= 4_000_000:
-            # Even at 256 the fused sweep is ONE ~30 s dispatch at N=5e6
-            # and the watchdog kills the worker (2e6's 10.8 s passes);
-            # split into bounded dispatches (one compile, traced index).
-            num_segments = 4
-    if leaf_level is None:
-        leaf_level = auto_leaf_level(n, dim, k=k)
+    rp = resolve_bh_params(n, dim, theta, far_impl=far_impl,
+                           leaf_level=leaf_level, leaf_batch=leaf_batch,
+                           multipole=multipole)
+    k, far_impl = rp["k"], rp["far_impl"]
+    num_segments, leaf_batch = rp["num_segments"], rp["leaf_batch"]
+    leaf_level = rp["leaf_level"]
     # The sparse chunked path shares far_field_rings, which has no "hier"
     # mode (per-chunk targets have no shared dense parent structure).
     sparse_far = "local" if far_impl == "hier" else far_impl
@@ -1162,13 +1248,20 @@ def barnes_hut_grid(
     # must stay its own dispatch — that is the point of the split.
     tree = build_grid_tree(positions, masses, leaf_level, capacity,
                            quad=(multipole == "quad"))
+    hier_coeffs = None
+    if far_impl == "hier":
+        # Run the downward sweep ONCE (its own bounded dispatch) instead
+        # of re-tracing it into every segment; segments then only carry
+        # the [G, ~22] Taylor coefficients (defer="gather").
+        hier_coeffs = _hier_sweep_jit(tree, k=k, multipole=multipole)
     acc_sorted = None
     for si in range(num_segments):
         part = grid_tree_accel_sorted(
             tree, k=k, softening=float(config.softening),
             leaf_batch=leaf_batch, p2p_impl=p2p_impl, multipole=multipole,
             num_segments=num_segments,
-            segment_index=jnp.int32(si), far_impl=far_impl)
+            segment_index=jnp.int32(si), far_impl=far_impl,
+            hier_coeffs=hier_coeffs)
         acc_sorted = part if acc_sorted is None else acc_sorted + part
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc

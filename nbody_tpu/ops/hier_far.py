@@ -91,12 +91,41 @@ def _parity_shell_sel(dim: int, k: int, c_min: int):
     return own, dfr, (idx, valid)
 
 
+@functools.lru_cache(maxsize=None)
+def leaf_defer_tables(dim: int, k: int, local_ratio: Optional[float] = None):
+    """Static per-parity leaf-level deferred-shell offset tables.
+
+    Returns (offs [2^D, md, D] int32, valid [2^D, md] f32): for a leaf of
+    Morton parity pm (pm = leaf_id & (2^D − 1)), the deferred inner far
+    shells (k < Chebyshev < c_min, the same split ``hier_far_coeffs``'s
+    sweep uses) sit at leaf-cell offsets ``offs[pm]`` in LEAF units —
+    cands are parent-aligned (parent_xy·2 + cand), the leaf is at
+    parent_xy·2 + par_vec, so the offset is cand − par_vec. Used by the
+    traversal-side ``defer="gather"`` mode (grid_tree.py), which gathers
+    these cells per leaf batch instead of materializing the [G, md·(D+1)]
+    pack tensors the sweep would otherwise emit (the N=5e6 3D L=6 HBM
+    OOM: ~4 GB of dfr outputs plus their 32×-tile-padded per-chunk stack
+    intermediates).
+    """
+    if local_ratio is None:
+        local_ratio = LOCAL_RATIO_DEFAULT
+    c_min = max(math.ceil(dim ** 0.5 / (2.0 * local_ratio)), k + 1)
+    _, dfr_sel, (dfr_idx, dfr_valid) = _parity_shell_sel(dim, k, c_min)
+    cands, _ = _ring_offsets(dim, k)
+    nch, md = dfr_idx.shape[0], dfr_idx.shape[1]
+    offs = np.zeros((nch, md, dim), np.int32)
+    for pm in range(nch):
+        offs[pm] = cands[dfr_idx[pm]] - _par_vec(pm, dim)[None, :]
+    return offs, dfr_valid
+
+
 def hier_far_coeffs(
     tree: GridTree,
     k: int,
     multipole: str = "quad",
     local_ratio: Optional[float] = None,
     chunk_budget: int = 16_000_000,
+    defer: str = "pack",
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array, Optional[jax.Array]]:
     """Run the downward sweep. Returns (coeffs, dfr_pack, dfr_quad):
 
@@ -116,6 +145,14 @@ def hier_far_coeffs(
     candidate gather is [P, (2k+1)^D·2^D, 4] — at L=6 3D that is 90M rows
     whose tiled buffer (f32[89915392,4]{T(8,128)} = 46 GB) OOMs the 16 GB
     HBM if materialized whole (measured, N=5e6 3D θ=0.25).
+
+    ``defer="gather"`` suppresses the per-leaf dfr outputs entirely
+    (returns (coeffs, [G, 0], None)): the caller evaluates the leaf-level
+    inner far shells itself by gathering ``leaf_defer_tables`` cells per
+    leaf batch. That is how the L=6 3D sweep fits HBM at all — even
+    chunked, the stacked [G, md·(D+1)] + [G, md·nq] pack outputs are
+    ~4 GB at N=5e6 3D, and the per-chunk stack intermediates take (8,128)
+    tile padding on their trailing (md, 4)/(md, 6) dims (~6.5 GB more).
     """
     dim, L = tree.dim, tree.leaf_level
     dt = tree.pos_sorted.dtype
@@ -137,6 +174,8 @@ def hier_far_coeffs(
     pre = None  # deferred contributions awaiting the next level [C_{l+1}, .]
     dfr_pack = dfr_quad = None
     md = dfr_idx.shape[1]
+    if defer == "gather":
+        md = 0  # leaf-level inner shells handled caller-side (see docstring)
     # chunk_budget: per-chunk candidate-gather budget (parents ×
     # candidates). The 16M default ≈ the largest whole-level gather
     # measured safe on the 16 GB chip ([4096, 2744, 4] at N=2e6 3D); the

@@ -604,6 +604,14 @@ def pallas_sym_tile(
     picks 2048 lanes in 2D and 1024 in 3D (the 3D body carries ~1.5× the
     (block_t, s_sub) temporaries; the narrower sub-tile keeps its
     scoped-VMEM footprint in the measured-safe 2D class).
+
+    WATCHDOG CAVEAT: the chunk split bounds COMPILE-TIME scoped VMEM, not
+    dispatch wall time — every chunk×chunk sub-call traces into ONE
+    device program, so a multi-million-row shard (e.g. a ring step at
+    N/P ≥ ~2e6 2D on v5e) is still a single long dispatch that can trip
+    the ~10-30 s TPU watchdog. Only ``brute_force_pallas_segmented``
+    bounds dispatch time; route oversized single-chip shards through it
+    (the ring composes it per shard via ``ring_all_pairs_segmented``).
     """
     t, dim = tpos.shape
     s = spos.shape[0]
@@ -821,3 +829,141 @@ def brute_force_pallas_segmented(
             forces[i] = forces[i] + f_i
             forces[j] = forces[j] + f_j
     return jnp.concatenate(forces, axis=0)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Fused small-N multi-step integrator: the whole K-step loop in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# At N ≤ ~4K the per-step device time of the scanned jnp/Pallas paths is
+# ~1.5 ms while the arithmetic is ~10 µs (N=1e3 2D: 5×10⁵ pairs at the
+# measured ~3.9 Tops/s VPU peak) — the scan iteration's XLA op overhead and
+# HBM round trips of the tiny state dominate, and they are why the N=1e3
+# cells lost to the reference CUDA kernel's 0.45 ms/step
+# (`1000,BruteForce_CUDA,2`, analysis notebook cell 4). This kernel removes
+# them: positions+velocities live in VMEM for the entire K-step Euler /
+# leapfrog loop (lax.fori_loop INSIDE the kernel), so per step there is no
+# dispatch, no HBM traffic, and no XLA op scheduling — just the pair sweep.
+
+
+def _kernel_fused_steps(pm_ref, vel_ref, out_pm_ref, out_vel_ref, *, dim,
+                        soft2, guard, steps, dt, g, s_sub, integrator):
+    """K integration steps over all-pairs gravity, fully VMEM-resident.
+
+    Refs: pm (Np, 4) [x, y, z|0, m]; vel (Np, 4) [vx, vy, vz|0, 0].
+    The transposed source view is rebuilt with an in-kernel transpose each
+    force evaluation (Np ≤ 2048 → a (Np, 4) relayout is trivial next to
+    the (Np, Np) pair sweep). Integrator semantics match integrators.py
+    exactly: euler v += G·acc·dt; x += v·dt — leapfrog KDK with two force
+    evaluations per step.
+    """
+    fdt = jnp.float32(dt)
+
+    def accel(pm):
+        src_t = jnp.transpose(pm)  # (4, Np)
+        np_ = pm.shape[0]
+        cols_acc = None
+        for u0 in range(0, np_, s_sub):
+            diffs = []
+            d2 = jnp.float32(soft2)
+            for d in range(dim):
+                diff = src_t[d:d + 1, u0:u0 + s_sub] - pm[:, d:d + 1]
+                diffs.append(diff)
+                d2 = diff * diff + d2
+            u = jax.lax.rsqrt(d2)
+            u3 = u * u * u
+            if guard:
+                u3 = jnp.where(d2 - soft2 < _DIST2_GUARD, 0.0, u3)
+            w = u3 * src_t[3:4, u0:u0 + s_sub]
+            cols = [jnp.sum(w * diffs[d], axis=1, keepdims=True)
+                    for d in range(dim)]
+            cols_acc = cols if cols_acc is None else [
+                a + c for a, c in zip(cols_acc, cols)]
+        cols_acc += [jnp.zeros_like(cols_acc[0])] * (4 - dim)
+        return jnp.concatenate(cols_acc, axis=1) * jnp.float32(g)  # (Np, 4)
+
+    def body(_, carry):
+        pm, vel = carry
+        if integrator == "euler":
+            vel = vel + accel(pm) * fdt
+            pm = pm + vel * fdt
+        else:  # leapfrog (KDK)
+            half = jnp.float32(0.5) * fdt
+            v_half = vel + accel(pm) * half
+            pm = pm + v_half * fdt
+            vel = v_half + accel(pm) * half
+        return pm, vel
+
+    pm, vel = jax.lax.fori_loop(0, steps, body, (pm_ref[:], vel_ref[:]))
+    out_pm_ref[:] = pm
+    out_vel_ref[:] = vel
+
+
+FUSED_SMALLN_MAX = 2048  # (Np, s_sub) temporaries stay well under VMEM
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "num_steps", "g", "softening", "integrator",
+                     "guard", "interpret"))
+def fused_smalln_simulate(
+    positions: jax.Array,
+    velocities: jax.Array,
+    masses: jax.Array,
+    *,
+    dt: float,
+    num_steps: int,
+    g: float = 1.0,
+    softening: float = 0.0,
+    integrator: str = "euler",
+    guard: bool | None = None,
+    interpret: bool = False,
+):
+    """K small-N integration steps in ONE kernel dispatch → (pos, vel).
+
+    Exact all-pairs forces with the project force law (ops/brute_force.py
+    docstring; guard defaults on only at softening == 0, module
+    "Pair-guard policy"). N must be ≤ ``FUSED_SMALLN_MAX``. This is the
+    production small-N stepping path: per step it does no dispatch, no
+    HBM traffic and no XLA op scheduling, closing the ~1.5 ms/step scan
+    floor to the pair-sweep cost itself. Reference parity: the CUDA
+    per-step kernel (`main_cuda.cu:24-57`) at `1000,BruteForce_CUDA,2` =
+    0.449 ms/step — this path's N=1e3 budget is ~10 µs of VPU work.
+    """
+    n, dim = positions.shape
+    if n > FUSED_SMALLN_MAX:
+        raise ValueError(f"fused_smalln_simulate: N={n} > {FUSED_SMALLN_MAX}")
+    if guard is None:
+        guard = float(softening) == 0.0
+    n_pad = max(128, -(-n // 128) * 128)
+    s_sub = min(1024, n_pad)
+
+    pm = jnp.full((n_pad, 4), _PAD_POS, jnp.float32)
+    pm = pm.at[:n, :dim].set(positions.astype(jnp.float32))
+    pm = pm.at[:, 3].set(0.0).at[:n, 3].set(masses.astype(jnp.float32))
+    vel = jnp.zeros((n_pad, 4), jnp.float32)
+    vel = vel.at[:n, :dim].set(velocities.astype(jnp.float32))
+
+    kernel = functools.partial(
+        _kernel_fused_steps, dim=dim, soft2=float(softening) ** 2,
+        guard=guard, steps=int(num_steps), dt=float(dt), g=float(g),
+        s_sub=s_sub, integrator=integrator)
+    out_pm, out_vel = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 4), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * dim + 9) * n_pad * n_pad * num_steps,
+            bytes_accessed=n_pad * 64,
+            transcendentals=n_pad * n_pad * num_steps,
+        ),
+        interpret=interpret,
+    )(pm, vel)
+    return out_pm[:n, :dim], out_vel[:n, :dim]

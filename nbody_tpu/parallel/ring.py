@@ -197,3 +197,178 @@ def ring_brute_force(
     masses = jax.device_put(masses, NamedSharding(mesh, P(axis_name)))
     forces = jax.jit(sharded)(positions, masses)
     return forces[:n]
+
+
+# ---------------------------------------------------------------------------
+# Watchdog-bounded ring: segmented sweeps inside each ring step
+# ---------------------------------------------------------------------------
+#
+# ``ring_brute_force`` traces the whole P-step rotation into ONE device
+# program — correct, but at big shards a single dispatch outruns the TPU
+# watchdog (~10-30 s kills the worker; CLAUDE.md). The single-chip answer
+# was driver-level segmentation (ops/pallas_brute.brute_force_pallas_
+# segmented: ~1M-row sub-blocks, one bounded dispatch each). This section
+# composes the two: the ring is driven from the HOST, one dispatch per
+# (rotation | tile-chunk | return hop), with each ring step's (N/P)²-pair
+# sym tile further split into row chunks so no dispatch exceeds the pair
+# budget. A real v5e-8 could thus run the exact N=5e6 row the reference
+# CUDA needed 219.3 s for (main_cuda.cu:24-57, `5000000,BruteForce_CUDA,2`)
+# at the projected ~2.6 s/chip-sweep class without any >10 s dispatch.
+
+
+def _seg_rows_for(shard_rows: int, dim: int, pair_budget: int) -> int:
+    """Target-row chunk so chunk·shard_rows pairs ≤ pair_budget (pow2)."""
+    rows = max(128, pair_budget // max(shard_rows, 1))
+    rows = 1 << (rows.bit_length() - 1)
+    return min(rows, shard_rows)
+
+
+def ring_all_pairs_segmented(
+    positions: jax.Array,
+    masses: jax.Array,
+    config: GravityConfig = DEFAULT_GRAVITY,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = BODY_AXIS,
+    sym_accel: Optional[SymAccelFn] = None,
+    local_accel: Optional[LocalAccelFn] = None,
+    pair_budget: int = 1 << 40,
+) -> jax.Array:
+    """Exact Newton-3 ring forces with every dispatch watchdog-bounded.
+
+    Same arithmetic as ``ring_brute_force(symmetric=True)`` — each
+    unordered shard pair swept once, partials returned to their owners —
+    but host-driven: per ring step one rotation collective, then
+    ceil(shard/seg_rows) two-output tile dispatches (the per-chip engine
+    sub-segmented the way ``brute_force_pallas_segmented`` segments a
+    single chip), then one s-hop return collective for the partials.
+    ``pair_budget`` bounds pairs per dispatch: the default 2^40 never
+    splits on shards ≤ 1M rows (one v5e dispatch ≈ 2.9 s per 1M² pairs —
+    measured safe); tests force tiny budgets to exercise multi-segment
+    equality on a CPU mesh.
+
+    Reference parity: the N=5e6 exact row (`main_cuda.cu:24-57`) on an
+    8-chip ring runs 8 bounded sweeps of (625K)² pairs ≈ 1.1 s each.
+    """
+    if mesh is None:
+        from .mesh import make_mesh
+        mesh = make_mesh(axis_name=axis_name)
+    if local_accel is None:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_brute import pallas_local_accel
+            local_accel = pallas_local_accel
+        else:
+            local_accel = _accel_rows
+    if sym_accel is None:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_brute import pallas_sym_accel
+            sym_accel = pallas_sym_accel
+        else:
+            sym_accel = _accel_rows_sym
+    P_ = mesh.shape[axis_name]
+    n, d = positions.shape
+    soft = float(config.softening)
+
+    shard_rows = pad_to_multiple(n, P_ * 128) // P_
+    seg_target = _seg_rows_for(shard_rows, d, pair_budget)
+    # seg_rows must DIVIDE the shard: lax.dynamic_slice clamps an
+    # out-of-bounds start, so a non-dividing tail chunk would silently
+    # re-read (and re-place) the previous chunk's rows (the round-2 BVH
+    # near-field double-count trap — CLAUDE.md). Pad N up instead.
+    nseg = -(-shard_rows // seg_target)
+    seg_rows = -(-(-(-shard_rows // nseg)) // 128) * 128
+    shard_rows = seg_rows * nseg
+    n_pad = shard_rows * P_
+    if n_pad != n:
+        pad = n_pad - n
+        positions = jnp.concatenate(
+            [positions, jnp.full((pad, d), _PAD_POS, positions.dtype)])
+        masses = jnp.concatenate([masses, jnp.zeros((pad,), masses.dtype)])
+
+    shard2 = NamedSharding(mesh, P(axis_name, None))
+    shard1 = NamedSharding(mesh, P(axis_name))
+    pos_s = jax.device_put(positions, shard2)
+    mass_s = jax.device_put(masses, shard1)
+
+    smap = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
+
+    @functools.partial(jax.jit, static_argnames=("start", "self_pair"))
+    def tile_chunk(pos_l, mass_l, src_pos, src_mass, *, start, self_pair):
+        """One bounded dispatch: rows [start, start+seg_rows) of every
+        chip's resident block vs the full rotated source block."""
+        @smap(in_specs=(P(axis_name, None), P(axis_name),
+                        P(axis_name, None), P(axis_name)),
+              out_specs=(P(axis_name, None), P(axis_name, None)))
+        def body(p_l, m_l, s_p, s_m):
+            tp = jax.lax.dynamic_slice_in_dim(p_l, start, seg_rows)
+            tm = jax.lax.dynamic_slice_in_dim(m_l, start, seg_rows)
+            if self_pair:
+                acc = local_accel(tp, s_p, s_m, soft)
+                part = jnp.zeros_like(s_p)
+            else:
+                acc, part = sym_accel(tp, tm, s_p, s_m, soft)
+            return acc, part
+        return body(pos_l, mass_l, src_pos, src_mass)
+
+    @functools.partial(jax.jit, static_argnames=("hops",))
+    def rotate(x, *, hops):
+        @smap(in_specs=(P(axis_name, None),),
+              out_specs=P(axis_name, None))
+        def body(x_l):
+            perm = [(i, (i + hops) % P_) for i in range(P_)]
+            return jax.lax.ppermute(x_l, axis_name, perm)
+        return body(x)
+
+    @jax.jit
+    def mask_upper_half(x):
+        """Even-P s=P/2 step: only chips b < P/2 evaluate (module doc)."""
+        @smap(in_specs=(P(axis_name, None),),
+              out_specs=P(axis_name, None))
+        def body(x_l):
+            keep = jax.lax.axis_index(axis_name) < P_ // 2
+            return jnp.where(keep, x_l, 0.0)
+        return body(x)
+
+    def full_tile(src_pos, src_mass, self_pair):
+        accs, parts = [], []
+        for c in range(nseg):
+            a, p = tile_chunk(pos_s, mass_s, src_pos, src_mass,
+                              start=c * seg_rows, self_pair=self_pair)
+            accs.append(a)
+            parts.append(p)
+        if nseg > 1:
+            # Each chunk's global array is chip-major [P·seg, D]; the
+            # global body order is chip-major × row, so chunks interleave
+            # PER CHIP — locally (inside shard_map) that is a plain
+            # concatenation of the chip's row chunks in order. (An eager
+            # reshape across the sharded axis aborts XLA:CPU.)
+            @jax.jit
+            @smap(in_specs=tuple(P(axis_name, None) for _ in accs),
+                  out_specs=P(axis_name, None))
+            def reassemble(*chunks):
+                return jnp.concatenate(chunks, axis=0)
+            acc = reassemble(*accs)
+        else:
+            acc = accs[0]
+        part = parts[0]
+        for p in parts[1:]:
+            part = part + p
+        return acc, part
+
+    # Self blocks (guard semantics via local_accel on the diagonal).
+    acc, _ = full_tile(pos_s, mass_s, True)
+    s_total = P_ // 2 if P_ % 2 == 0 else (P_ - 1) // 2
+    src_pos, src_mass = pos_s, mass_s
+    for s in range(1, s_total + 1):
+        src_pos = rotate(src_pos, hops=1)
+        src_mass = rotate(src_mass[:, None], hops=1)[:, 0]
+        acc_t, part = full_tile(src_pos, src_mass, False)
+        if P_ % 2 == 0 and s == P_ // 2:
+            acc_t = mask_upper_half(acc_t)
+            part = mask_upper_half(part)
+        acc = acc + acc_t
+        # The partial on chip b belongs to block b−s: s reverse hops home.
+        acc = acc + rotate(part, hops=-s)
+
+    g = jnp.asarray(config.G, acc.dtype)
+    forces = (g * masses)[:, None] * acc
+    return forces[:n]

@@ -30,5 +30,13 @@ def test_adapters_jit_and_match(rng_key, name):
     # Loose gate: same force law, approximate methods allowed their error.
     assert np.abs(f - want).max() / scale < 5e-2
 
-    t, k = dsb.measure(name, sys_, cfg, steps=2)
-    assert t > 0 and 1 <= k <= 2
+    # Tiny dispatch budget keeps the differenced K_hi scan short on CPU;
+    # the estimator must still return a positive marginal per-step time
+    # and an effective (differenced) step count >= 1.
+    orig = dsb.DISPATCH_BUDGET_S
+    try:
+        dsb.DISPATCH_BUDGET_S = 0.05
+        t, k = dsb.measure(name, sys_, cfg, steps=2)
+    finally:
+        dsb.DISPATCH_BUDGET_S = orig
+    assert t > 0 and k >= 1

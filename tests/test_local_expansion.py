@@ -393,6 +393,37 @@ def test_hier_chunked_sweep_matches_whole_level(rng_key):
                                    rtol=1e-3, atol=1e-8)
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_hier_gather_defer_matches_pack(rng_key, dim):
+    """The traversal-side defer="gather" inner-shell evaluation (the L=6
+    3D HBM-OOM fix: no [G, md·(D+1)] sweep outputs) agrees with the
+    sweep-side pack tensors — same cells, same quad physics, different
+    gather site, so only f32 reassociation noise separates them."""
+    from nbody_tpu.ops.grid_tree import (build_grid_tree,
+                                         grid_tree_accel_sorted)
+    from nbody_tpu.ops.hier_far import hier_far_coeffs
+    from nbody_tpu.state import random_system
+    sys_ = random_system(rng_key, 4096, dim=dim, dtype=jnp.float32)
+    tree = build_grid_tree(sys_.positions, sys_.masses, 4,
+                           _cap_for(sys_.positions, 4), quad=True)
+    packed = grid_tree_accel_sorted(tree, k=3, multipole="quad",
+                                    far_impl="hier")
+    coeffs = hier_far_coeffs(tree, 3, multipole="quad",
+                             defer="gather")[0]
+    gathered = grid_tree_accel_sorted(tree, k=3, multipole="quad",
+                                      far_impl="hier",
+                                      hier_coeffs=coeffs)
+    a, b = np.asarray(gathered), np.asarray(packed)
+    # scale-normalized: per-component rel diff explodes on cancelling
+    # net forces (the project-wide metric rationale, utils/accuracy.py)
+    assert np.max(np.abs(a - b)) <= 1e-4 * np.mean(np.abs(b)) + 1e-30
+
+
+def _cap_for(positions, leaf_level):
+    from nbody_tpu.ops.grid_tree import compute_capacity_cached
+    return compute_capacity_cached(positions, leaf_level)
+
+
 def test_hier_wide_ring_no_double_count(rng_key):
     """k ≥ 4 in 2D: every cell within Chebyshev k is NEAR — the hier far
     field must not re-count shells < k+1 (the c_min clamp; unclamped this

@@ -199,3 +199,37 @@ def test_segmented_single_segment_is_symmetric_kernel(rng_key):
     got = brute_force_pallas_segmented(sys.positions, sys.masses, cfg,
                                        num_segments=1, interpret=True)
     assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+@pytest.mark.parametrize("integrator", ["euler", "leapfrog"])
+def test_fused_smalln_simulate_matches_scanned(rng_key, integrator):
+    """The K-steps-inside-one-kernel integrator (interpret mode) is
+    bit-exact vs the scanned integrators.simulate on the same f32 state
+    (same op order per step; measured on-chip it is a negative result —
+    2.08 µs/step scanned vs 15.8 µs fused at N=1e3 — kept as the
+    documented small-N stepping experiment, ROADMAP r5)."""
+    from nbody_tpu.config import GravityConfig
+    from nbody_tpu.integrators import simulate
+    from nbody_tpu.ops.brute_force import brute_force_direct
+    from nbody_tpu.ops.pallas_brute import fused_smalln_simulate
+    from nbody_tpu.state import random_system
+    sys_ = random_system(rng_key, 300, dim=2, dtype=jnp.float32)
+    cfg = GravityConfig()
+    ref, _ = simulate(sys_, lambda p, m: brute_force_direct(p, m, cfg),
+                      1e-6, 8, integrator=integrator)
+    pos, vel = fused_smalln_simulate(
+        sys_.positions, sys_.velocities, sys_.masses, dt=1e-6, num_steps=8,
+        g=float(cfg.G), softening=float(cfg.softening),
+        integrator=integrator, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(ref.positions))
+    np.testing.assert_array_equal(np.asarray(vel),
+                                  np.asarray(ref.velocities))
+
+
+def test_fused_smalln_rejects_big_n(rng_key):
+    from nbody_tpu.ops.pallas_brute import FUSED_SMALLN_MAX, \
+        fused_smalln_simulate
+    n = FUSED_SMALLN_MAX + 1
+    with pytest.raises(ValueError, match="fused_smalln"):
+        fused_smalln_simulate(jnp.zeros((n, 2)), jnp.zeros((n, 2)),
+                              jnp.ones((n,)), dt=1e-6, num_steps=1)

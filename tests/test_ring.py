@@ -158,3 +158,62 @@ def test_ring_with_pallas_local(rng_key):
         local_accel=lambda t, s, m, soft: local(t, s, m, softening=soft))
     from nbody_tpu.utils.accuracy import scale_normalized_error
     assert float(scale_normalized_error(got, want)) < 1e-4
+
+
+@pytest.mark.parametrize("n,budget", [(300, 1 << 40), (300, 128 * 512),
+                                      (520, 128 * 256)])
+def test_ring_segmented_matches_direct(rng_key, n, budget):
+    """Host-driven watchdog-bounded ring (segmented sweeps inside each
+    ring step) covers every pair exactly once — tiny pair budgets force
+    nseg > 1 so the chunk-interleave reassembly is exercised."""
+    from nbody_tpu.parallel.ring import ring_all_pairs_segmented
+    sys = random_system(rng_key, n, dim=2, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    got = ring_all_pairs_segmented(sys.positions, sys.masses, cfg,
+                                   mesh=make_mesh(), pair_budget=budget)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-8)
+
+
+def test_ring_segmented_odd_even_meshes(rng_key):
+    """Odd P (no masked half-step) and even P (masked s=P/2) both cover
+    every unordered shard pair exactly once in the segmented driver."""
+    from nbody_tpu.parallel.ring import ring_all_pairs_segmented
+    sys = random_system(rng_key, 256, dim=3, dtype=jnp.float64)
+    cfg = GravityConfig()
+    want = brute_force_direct(sys.positions, sys.masses, cfg)
+    for k in (2, 3, 4):
+        got = ring_all_pairs_segmented(
+            sys.positions, sys.masses, cfg,
+            mesh=make_mesh(jax.devices()[:k]), pair_budget=128 * 256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-8)
+
+
+def test_ring_segmented_4e6_shapes_pair_coverage(rng_key):
+    """The v5e-8 target shape (N=4e6, P=8 — VERDICT r4 item 8) runs the
+    full segmented-ring PLUMBING on the CPU mesh with a linear-cost fake
+    engine: acc_t sums source masses, part_s sums target masses, so each
+    body's accumulated value equals the total mass iff every unordered
+    shard pair (and the self block) is counted exactly once — any miss,
+    double count, or mis-rotated return partial shifts it."""
+    from nbody_tpu.parallel.ring import ring_all_pairs_segmented
+    n = 4_000_000
+    pos = jnp.zeros((n, 2), jnp.float32)
+    mass = jnp.ones((n,), jnp.float32)
+    cfg = GravityConfig(G=1.0, softening=0.0)
+
+    def fake_local(tp, sp, sm, soft):
+        return jnp.broadcast_to(jnp.sum(sm), tp.shape[:1] + (2,))
+
+    def fake_sym(tp, tm, sp, sm, soft):
+        return (jnp.broadcast_to(jnp.sum(sm), tp.shape[:1] + (2,)),
+                jnp.broadcast_to(jnp.sum(tm), sp.shape[:1] + (2,)))
+
+    # pair_budget forces nseg = 4 on the 500K-row shards.
+    got = ring_all_pairs_segmented(
+        pos, mass, cfg, mesh=make_mesh(), local_accel=fake_local,
+        sym_accel=fake_sym, pair_budget=(n // 8) * (n // 8) // 4)
+    np.testing.assert_allclose(np.asarray(got[:: n // 997]), float(n),
+                               rtol=1e-6)

@@ -28,9 +28,6 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-
-jax.config.update("jax_enable_x64", True)  # the sampled oracle is f64
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,20 +40,28 @@ from nbody_tpu.ops.grid_tree import (auto_leaf_level, barnes_hut_grid,
 
 def sampled_oracle_error(positions, masses, forces, cfg, samples: int = 512):
     """max_i ||F_i - F_i^ref|| / rms(F^ref) over a strided body sample,
-    reference in f64 against ALL bodies (exact, O(samples * N))."""
+    reference in HOST numpy float64 against ALL bodies (exact,
+    O(samples * N)) — numpy rather than jax_enable_x64 so the tool never
+    flips process-global x64 (which would change what the TIMED force
+    paths compile to on the axon backend; ADVICE r4)."""
     n = positions.shape[0]
     idx = np.arange(0, n, max(1, n // samples))[:samples]
-    p = jnp.asarray(positions, jnp.float64)
-    m = jnp.asarray(masses, jnp.float64)
-    d = p[idx, None, :] - p[None, :, :]
-    r2 = jnp.sum(d * d, axis=-1) + float(cfg.softening) ** 2
-    r2 = jnp.where(r2 < 1e-10, jnp.inf, r2)
-    w = m[None, :, None] * (r2 ** -1.5)[..., None]
-    ref = -jnp.sum(w * d, axis=1) * m[idx, None] * cfg.G
-    got = jnp.asarray(forces)[idx].astype(jnp.float64)
-    num = jnp.linalg.norm(got - ref, axis=-1)
-    scale = jnp.sqrt(jnp.mean(jnp.sum(ref * ref, axis=-1)))
-    return float(jnp.max(num) / scale)
+    p = np.asarray(positions, np.float64)
+    m = np.asarray(masses, np.float64)
+    soft2 = float(cfg.softening) ** 2
+    ref = np.zeros((idx.size, p.shape[1]))
+    for s0 in range(0, n, 65_536):  # chunked: whole [S, N, D] is ~12 GB at 1e6
+        ps = p[s0:s0 + 65_536]
+        d = ps[None, :, :] - p[idx, None, :]
+        r2 = np.sum(d * d, axis=-1) + soft2
+        r2 = np.where(r2 < 1e-10, np.inf, r2)
+        w = m[None, s0:s0 + 65_536] * (r2 ** -1.5)
+        ref += np.sum(w[..., None] * d, axis=1)
+    ref *= m[idx, None] * cfg.G
+    got = np.asarray(forces)[idx].astype(np.float64)
+    num = np.linalg.norm(got - ref, axis=-1)
+    scale = np.sqrt(np.mean(np.sum(ref * ref, axis=-1)))
+    return float(np.max(num) / scale)
 
 
 def timed(fn):
@@ -76,20 +81,22 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--theta", type=float, default=0.25)
+    ap.add_argument("--sparse-tune", action="store_true",
+                    help="sweep sparse-grid (chunk_size, window) on-chip")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "artifacts",
         "clustered_stress.json"))
     args = ap.parse_args()
 
-    sys, cfg = plummer_sphere(jax.random.key(11), args.n, dim=3,
-                              dtype=jnp.float32)
-    n, dim = sys.positions.shape
+    system, cfg = plummer_sphere(jax.random.key(11), args.n, dim=3,
+                                 dtype=jnp.float32)
+    n, dim = system.positions.shape
 
     # 1. The degenerate grid capacity and the DENSE layout's refusal.
     level = auto_leaf_level(n, dim)
-    cap = compute_capacity(sys.positions, level)
+    cap = compute_capacity(system.positions, level)
     try:
-        barnes_hut_grid(sys.positions, sys.masses, cfg,
+        barnes_hut_grid(system.positions, system.masses, cfg,
                         theta=args.theta, layout="dense")
         grid_refused = False
     except ValueError as e:
@@ -97,13 +104,34 @@ def main() -> int:
 
     # 2. The BVH tier (auto-escalating capacities, subset re-dispatch).
     bvh_out, bvh_s = timed(lambda: bvh_forces(
-        sys.positions, sys.masses, cfg, theta=args.theta))
-    bvh_err = sampled_oracle_error(sys.positions, sys.masses, bvh_out, cfg)
+        system.positions, system.masses, cfg, theta=args.theta))
+    bvh_err = sampled_oracle_error(system.positions, system.masses, bvh_out, cfg)
 
     # 3. The sparse grid fallback through the public driver (layout=auto).
     sp_out, sp_s = timed(lambda: barnes_hut_grid(
-        sys.positions, sys.masses, cfg, theta=args.theta))
-    sp_err = sampled_oracle_error(sys.positions, sys.masses, sp_out, cfg)
+        system.positions, system.masses, cfg, theta=args.theta))
+    sp_err = sampled_oracle_error(system.positions, system.masses, sp_out, cfg)
+
+    # 3b. Optional (chunk_size, window) tuning sweep for the sparse path —
+    # the r4 defaults (64/8) were explicitly untuned (ROADMAP; VERDICT r4
+    # weak 2 asked for an on-chip tuning pass).
+    tune_rows = []
+    if args.sparse_tune:
+        from nbody_tpu.ops.sparse_grid import barnes_hut_sparse
+        for cs in (32, 64, 128):
+            for wd in (8, 16, 32):
+                try:
+                    _, t = timed(lambda cs=cs, wd=wd: barnes_hut_sparse(
+                        system.positions, system.masses, cfg,
+                        theta=args.theta, chunk_size=cs, window=wd))
+                except Exception as e:  # noqa: BLE001
+                    print(f"sparse chunk={cs} window={wd}: "
+                          f"{type(e).__name__}: {e}")
+                    continue
+                tune_rows.append({"chunk_size": cs, "window": wd,
+                                  "time_s": round(t, 4)})
+                print(f"sparse chunk={cs:>4} window={wd:>3}: {t:8.3f} s",
+                      flush=True)
 
     artifact = {
         "backend": jax.default_backend(),
@@ -120,6 +148,7 @@ def main() -> int:
         "sparse_grid_time_s": round(sp_s, 4),
         "sparse_grid_finite": bool(jnp.all(jnp.isfinite(sp_out))),
         "sparse_grid_sampled_norm_error_vs_f64": sp_err,
+        "sparse_tune": tune_rows or None,
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:

