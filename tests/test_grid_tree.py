@@ -165,6 +165,28 @@ def test_segmented_dispatch_matches_unsegmented(rng_key):
     np.testing.assert_array_equal(np.asarray(seg), np.asarray(base))
 
 
+def test_segmented_hier_gather_matches_unsegmented(rng_key):
+    """The N≥4M 3D production composition — hier far field, traversal-side
+    defer=gather, hoisted sweep shared across 4 bounded segment dispatches
+    — must be bit-identical to the unsegmented gather evaluation."""
+    from nbody_tpu.ops.grid_tree import grid_tree_accel_sorted
+    from nbody_tpu.ops.hier_far import hier_far_coeffs
+    sys = random_system(rng_key, 4096, dim=3, dtype=jnp.float32)
+    lvl = 4  # deep enough that k=3 has real far-field levels
+    cap = compute_capacity(sys.positions, lvl)
+    tree = build_grid_tree(sys.positions, sys.masses, lvl, cap, quad=True)
+    coeffs = hier_far_coeffs(tree, 3, multipole="quad", defer="gather")[0]
+    base = grid_tree_accel_sorted(tree, k=3, leaf_batch=64,
+                                  multipole="quad", far_impl="hier",
+                                  hier_coeffs=coeffs)
+    seg = sum(grid_tree_accel_sorted(tree, k=3, leaf_batch=64,
+                                     multipole="quad", far_impl="hier",
+                                     hier_coeffs=coeffs, num_segments=4,
+                                     segment_index=jnp.int32(si))
+              for si in range(4))
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(base))
+
+
 def test_capacity_memo_exact_and_weakref_guarded(rng_key):
     """compute_capacity_cached: identity hit returns the same value without
     recomputation; a NEW array whose id happens to be reused must miss

@@ -126,10 +126,26 @@ def measure(name: str, system, cfg, steps: int) -> float:
     # Two probes give a marginal-cost estimate that sizes K_hi so the
     # differenced signal dwarfs RTT jitter while the K_hi dispatch stays
     # inside the watchdog budget.
+    # Escalating probe ladder: find a scan length whose signal over t(1)
+    # clears the RTT noise floor (~0.1 s) without ever risking a watchdog
+    # kill — at probe k the worst projected dispatch is t1 + 8 * the
+    # previous (sub-0.1 s) signal, well under the budget; a seconds-scale
+    # per-step cell stops at k=4 immediately.
     t1 = run_k(1, repeats=1)
-    t_probe = run_k(min(64, max(2, steps)), repeats=1)
-    marg = max((t_probe - t1) / (min(64, max(2, steps)) - 1), 1e-7)
-    k_hi = max(steps, min(4096, int(DISPATCH_BUDGET_S / marg)))
+    k = 4
+    while True:
+        t_k = run_k(k, repeats=1)
+        sig = t_k - t1
+        if sig > 0.1 or k >= 4096:
+            marg = max(sig / (k - 1), 1e-7)
+            break
+        k *= 8
+    # The watchdog bounds k_hi ABSOLUTELY (a 16-step scan of a 1.5 s/step
+    # cell would be a ~24 s worker-killing dispatch); the differenced
+    # estimate stays accurate at small k_hi because the per-step signal
+    # there is seconds against ~ms of RTT jitter.
+    k_hi = max(2, min(65536, int(DISPATCH_BUDGET_S / marg)))
+    k_hi = 1 << (k_hi.bit_length() - 1)  # pow2: scan compiles shared
     k_lo = max(1, k_hi // 8)
     t_lo = run_k(k_lo)
     t_hi = run_k(k_hi)
