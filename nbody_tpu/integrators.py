@@ -45,6 +45,28 @@ def leapfrog_step(system: System, forces_fn: ForcesFn, dt) -> System:
     return system.replace(positions=x1, velocities=v1)
 
 
+def leapfrog_step_carried(system: System, acc, forces_fn: ForcesFn,
+                          dt) -> Tuple[System, jax.Array]:
+    """One KDK step given the CURRENT acceleration; returns the next
+    state and the acceleration at the new positions.
+
+    Chained KDK steps evaluate forces once per step: the ``a0 =
+    forces(x_k)`` that :func:`leapfrog_step` recomputes at step k+1 is
+    exactly the ``a1`` step k already computed — same inputs, same
+    values. Threading it through halves the force evaluations of every
+    stepping loop (measured: the Plummer 1M 3D BVH force eval is ~10 s,
+    so this alone halves the clustered headline step). Seed with
+    ``acc = forces_fn(x0, m) / m[:, None]``.
+    """
+    dt = jnp.asarray(dt, system.positions.dtype)
+    half = dt * 0.5
+    v_half = system.velocities + acc * half
+    x1 = system.positions + v_half * dt
+    a1 = forces_fn(x1, system.masses) / system.masses[:, None]
+    v1 = v_half + a1 * half
+    return system.replace(positions=x1, velocities=v1), a1
+
+
 def simulate(
     system: System,
     forces_fn: ForcesFn,
@@ -52,7 +74,24 @@ def simulate(
     num_steps: int,
     integrator: str = "leapfrog",
 ) -> Tuple[System, None]:
-    """Run ``num_steps`` under ``lax.scan`` (compiled once, static step count)."""
+    """Run ``num_steps`` under ``lax.scan`` (compiled once, static step count).
+
+    The leapfrog path carries the acceleration between steps
+    (:func:`leapfrog_step_carried`) — one force evaluation per step
+    instead of :func:`leapfrog_step`'s two, identical trajectory.
+    """
+    if integrator == "leapfrog":
+        a0 = forces_fn(system.positions, system.masses) \
+            / system.masses[:, None]
+
+        def body(carry, _):
+            sys, acc = carry
+            return leapfrog_step_carried(sys, acc, forces_fn, dt), None
+
+        (final, _), _ = jax.lax.scan(body, (system, a0), None,
+                                     length=num_steps)
+        return final, None
+
     step = {"euler": euler_step, "leapfrog": leapfrog_step}[integrator]
 
     def body(sys, _):

@@ -882,7 +882,10 @@ def _bvh_fused(positions, masses, g, *, key_bits, quad, leaf_size, theta,
     rationale as grid_tree._bh_grid_fused — every eager glue op is a
     ~30 ms round trip through the axon tunnel). Also returns the
     per-group overflow bitmap and the sort order so the escalation
-    driver can re-dispatch ONLY the overflowed groups."""
+    driver can re-dispatch ONLY the overflowed groups — and the TREE
+    itself (on-device pytree, no extra transfer), so the escalation path
+    reuses it instead of paying a second full build (measured 2.8 s of
+    the 13.4 s Plummer 1M 3D force eval, artifacts/clustered_phase.json)."""
     tree = build_bvh(positions, masses, key_bits, quad=quad)
     acc_sorted, maxw, ncnt, g_over = bvh_accel_sorted(
         tree, leaf_size=leaf_size, theta=theta, softening=softening,
@@ -890,7 +893,16 @@ def _bvh_fused(positions, masses, g, *, key_bits, quad, leaf_size, theta,
         near_cap=near_cap, return_stats=True, multipole=multipole,
         far_impl=far_impl, local_gate=local_gate)
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
-    return (g * masses)[:, None] * acc, maxw, ncnt, g_over, tree.order
+    return (g * masses)[:, None] * acc, maxw, ncnt, g_over, tree
+
+
+def _cap_bucket(x: int) -> int:
+    """Round up to a 1/8-power-of-two grid (so cached escalation caps —
+    static jit args — land on shared compile fingerprints across steps)."""
+    if x <= 0:
+        return 0
+    g = max(2048, 1 << max(x.bit_length() - 4, 0))
+    return -(-x // g) * g
 
 
 def bvh_forces(
@@ -907,6 +919,7 @@ def bvh_forces(
     multipole: str = "quad",
     far_impl: str = "point",
     local_gate: float = 8.0,
+    caps_state: Optional[dict] = None,
 ) -> jax.Array:
     """Per-body forces via the Hilbert radix BVH (parity: bvh_*_n_body,
     methods.cpp:377-423, with max_bodies_per_leaf=16 default methods.h:57).
@@ -960,7 +973,7 @@ def bvh_forces(
         c = min(cap, max(1, 2048 // leaf_size))
         return -(-cap // c) * c  # kernel near-cap, rounded to pass-2 chunks
 
-    forces, maxw, ncnt, g_over, order = _bvh_fused(
+    forces, maxw, ncnt, g_over, tree = _bvh_fused(
         positions, masses, g, key_bits=key_bits,
         quad=(multipole == "quad"), leaf_size=leaf_size,
         theta=float(theta), softening=float(config.softening),
@@ -987,9 +1000,18 @@ def bvh_forces(
     M = 1 << max(0, int(ids.size - 1).bit_length())
     ids_p = np.concatenate(
         [ids, np.full(M - ids.size, ids[0], ids.dtype)])
-    tree = build_bvh(positions, masses, key_bits,
-                     quad=(multipole == "quad"))
+    # (The tree rides back from the fused dispatch — a second build here
+    # cost a measured 2.8 s of the 13.4 s Plummer 1M 3D force eval.)
     w2, nl2 = w, nl
+    if caps_state:
+        # Stepping loops thread a dict here: the settled exact high-water
+        # counts of the PREVIOUS call seed this call's first escalation
+        # attempt at ~1.2x exact instead of 2x a truncation-censored lower
+        # bound (near-field work scales with the cap — the doubled cap
+        # was ~1.4 s of the 4.2 s escalated dispatch). An undersized seed
+        # just falls through to the doubling loop.
+        w2 = min(2 * n, max(w2, int(caps_state.get("w2", 0))))
+        nl2 = min(2 * n, max(nl2, int(caps_state.get("nl2", 0))))
     for attempt in range(max_escalations):
         # Measured counts under overflow are lower bounds (a truncated
         # frontier expands less), so double past them.
@@ -1008,10 +1030,18 @@ def bvh_forces(
         if (need_w <= chunked(w2) and need_nl <= nl_chunked(nl2)) \
                 or (chunked(w2) >= 2 * n and nl2 >= 2 * n):
             break
+    if caps_state is not None:
+        # The final attempt's stats are exact high-water counts when it
+        # fit; 1.2x margin absorbs step-to-step drift of the dense core.
+        # Bucketed to a 1/8-power-of-two grid: the caps are STATIC jit
+        # args, so unquantized per-step values recompiled the subset walk
+        # every step (measured: 12 s steady steps spiking to 26 s).
+        caps_state["w2"] = _cap_bucket(int(1.2 * need_w) + 1)
+        caps_state["nl2"] = _cap_bucket(int(1.2 * need_nl) + 1)
     rows = (ids_p[:, None] * G + np.arange(G)).reshape(-1)
     valid = rows < n
     rows_v = jnp.asarray(rows[valid])
-    orig = order[rows_v]  # sorted slot -> original body index
+    orig = tree.order[rows_v]  # sorted slot -> original body index
     sub_rows = sub_acc[jnp.asarray(valid)]
     sub_forces = (g * tree.mass_sorted[rows_v])[:, None] * sub_rows
     return forces.at[orig].set(sub_forces)

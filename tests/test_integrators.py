@@ -88,3 +88,24 @@ def test_potential_energy_blocked_matches_dense(rng_key):
                                              cfg, block_size=128))
     np.testing.assert_allclose(blocked, dense, rtol=1e-5)
     assert dense < 0  # bound system
+
+
+def test_leapfrog_carried_matches_chained(rng_key):
+    """simulate()'s carried-acceleration KDK (one force eval/step) must
+    reproduce the chained two-eval leapfrog_step trajectory exactly —
+    the recomputed a0 of step k+1 IS step k's a1."""
+    from nbody_tpu.config import GravityConfig
+    from nbody_tpu.integrators import leapfrog_step, simulate
+    from nbody_tpu.ops.brute_force import brute_force_direct
+    from nbody_tpu.state import random_system
+    sys_ = random_system(rng_key, 256, dim=3, dtype=jnp.float64)
+    cfg = GravityConfig(G=1.0, softening=0.1)
+    fn = lambda p, m: brute_force_direct(p, m, cfg)
+    want = sys_
+    for _ in range(6):
+        want = leapfrog_step(want, fn, 0.01)
+    got, _ = simulate(sys_, fn, 0.01, 6, integrator="leapfrog")
+    np.testing.assert_allclose(np.asarray(got.positions),
+                               np.asarray(want.positions), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(got.velocities),
+                               np.asarray(want.velocities), rtol=1e-13)

@@ -135,6 +135,16 @@ def main() -> int:
     print(f"end_to_end       {t_e2e:7.3f} s "
           f"(leapfrog step = 2x this + integrator)")
 
+    # 5. End-to-end with the stepping caps cache warm (what steps 2..K of
+    # a leapfrog loop pay: single escalated attempt at ~1.2x exact caps).
+    caps: dict = {}
+    t_w, _ = timed(lambda: bvh_forces(pos, mass, cfg,
+                                      theta=float(args.theta),
+                                      caps_state=caps))
+    res["end_to_end_caps_warm_s"] = round(t_w, 3)
+    res["caps_state"] = dict(caps)
+    print(f"e2e caps-warm    {t_w:7.3f} s   caps={caps}")
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=2)
