@@ -278,8 +278,12 @@ def barnes_hut_sparse(
     config: GravityConfig = DEFAULT_GRAVITY,
     theta: Optional[float] = None,
     leaf_level: Optional[int] = None,
-    chunk_size: int = 128,  # on-chip tune, Plummer 1e5 3D θ=0.25: 64→2.16 s,
-    # 128→1.29 s (window neutral 8/16/32) — artifacts/clustered_stress.json
+    chunk_size: int = 512,  # on-chip tune, Plummer 1e5 3D θ=0.25:
+    # 64→2.16 s, 128→1.29, 256→0.87, 512→0.60 (minimum; 1024→0.73,
+    # 2048→0.69; window neutral 8/16/32) — bigger cell-aligned chunks
+    # amortize the per-chunk window machinery over the dense core's huge
+    # cells; artifacts/clustered_stress.json holds the committed sweep.
+    # At 512 the sparse grid BEATS the BVH tier on this input (0.86 s).
     window: int = 8,
     chunk_batch: int = 128,
     multipole: str = "quad",

@@ -128,8 +128,8 @@ def main() -> int:
     tune_rows = []
     if args.sparse_tune:
         from nbody_tpu.ops.sparse_grid import barnes_hut_sparse
-        for cs in (32, 64, 128):
-            for wd in (8, 16, 32):
+        for cs in (64, 128, 256, 512, 1024):
+            for wd in (8, 16):
                 try:
                     _, t = timed(lambda cs=cs, wd=wd: barnes_hut_sparse(
                         system.positions, system.masses, cfg,
