@@ -217,12 +217,20 @@ def near_field_windows(tree: GridTree, cell_b: jax.Array,
     jax.jit,
     static_argnames=("leaf_level", "k", "softening", "chunk_size",
                      "num_chunks", "max_windows", "chunk_batch",
-                     "window", "multipole", "far_impl"))
+                     "window", "multipole", "far_impl", "num_segments"))
 def _bh_sparse_fused(positions, masses, g, *, leaf_level, k, softening,
                      chunk_size, num_chunks, max_windows, chunk_batch,
-                     window, multipole, far_impl="point"):
+                     window, multipole, far_impl="point",
+                     num_segments=1, segment_index=None):
     """Build + chunked evaluation + unsort + G-scale as ONE device program
-    (same relay-latency rationale as grid_tree._bh_grid_fused)."""
+    (same relay-latency rationale as grid_tree._bh_grid_fused).
+
+    ``num_segments > 1`` bounds the dispatch (the grid-BH pattern,
+    grid_tree_accel_sorted): each call sweeps only its slice of the chunk
+    batches — at clustered 1e6 θ=0.25 the single-dispatch sweep outran
+    the ~30 s TPU watchdog and crashed the worker (measured r5).
+    ``segment_index`` is traced, so ONE compile serves all segments; the
+    caller sums the per-segment results (disjoint support)."""
     n, dim = positions.shape
     C0 = chunk_size
     tree = build_grid_tree(positions, masses, leaf_level, capacity=8,
@@ -232,8 +240,10 @@ def _bh_sparse_fused(positions, masses, g, *, leaf_level, k, softening,
     cell, cstart, clen, coffs = chunk_table(
         tree.cell_start, tree.cell_count, chunk=C0, num_chunks=num_chunks)
 
-    # Pad the chunk rows to whole batches (pad rows: clen == 0).
-    NB = -(-num_chunks // chunk_batch)
+    # Pad the chunk rows to whole batches (pad rows: clen == 0) — and to
+    # whole SEGMENTS of batches, so the per-segment dynamic_slice below
+    # can never clamp out of bounds (the round-2 re-read trap).
+    NB = -(-(-(-num_chunks // chunk_batch)) // num_segments) * num_segments
     NTp = NB * chunk_batch
     if NTp > num_chunks:
         pad = NTp - num_chunks
@@ -257,17 +267,32 @@ def _bh_sparse_fused(positions, masses, g, *, leaf_level, k, softening,
             max_windows=max_windows, softening=softening)
         return acc
 
-    accs = jax.lax.map(one_batch, (cell.reshape(NB, chunk_batch),
-                                   cstart.reshape(NB, chunk_batch),
-                                   clen.reshape(NB, chunk_batch)))
-    acc_flat = accs.reshape(-1, dim)  # [NTp·C0, D]
-
+    xs = (cell.reshape(NB, chunk_batch), cstart.reshape(NB, chunk_batch),
+          clen.reshape(NB, chunk_batch))
     # Sorted row i -> (chunk, slot): pure gather back to sorted order.
     leaf = tree.leaf_ids
     within = jnp.arange(n, dtype=jnp.int32) - tree.cell_start[leaf]
     chunk_of = coffs[leaf] + within // C0
     slot = within % C0
-    acc_sorted = acc_flat[chunk_of * C0 + slot]
+    idx_flat = chunk_of * C0 + slot
+    if num_segments == 1:
+        accs = jax.lax.map(one_batch, xs)
+        acc_flat = accs.reshape(-1, dim)  # [NTp·C0, D]
+        acc_sorted = acc_flat[idx_flat]
+    else:
+        NBs = NB // num_segments
+        sidx = jnp.asarray(
+            0 if segment_index is None else segment_index, jnp.int32)
+        xs_s = tuple(jax.lax.dynamic_slice_in_dim(x, sidx * NBs, NBs)
+                     for x in xs)
+        accs = jax.lax.map(one_batch, xs_s)
+        acc_flat = accs.reshape(-1, dim)  # [NBs·cb·C0, D]
+        base = sidx * (NBs * chunk_batch * C0)
+        in_seg = (idx_flat >= base) \
+            & (idx_flat < base + acc_flat.shape[0])
+        acc_sorted = acc_flat[
+            jnp.clip(idx_flat - base, 0, acc_flat.shape[0] - 1)] \
+            * in_seg[:, None]
     acc = jnp.zeros_like(acc_sorted).at[tree.order].set(acc_sorted)
     return (g * masses)[:, None] * acc
 
@@ -288,6 +313,7 @@ def barnes_hut_sparse(
     chunk_batch: int = 128,
     multipole: str = "quad",
     far_impl: str = "local",
+    num_segments: Optional[int] = None,
 ) -> jax.Array:
     """Barnes-Hut forces [N, D] on the sparse (clustered-input) grid path.
 
@@ -308,9 +334,27 @@ def barnes_hut_sparse(
     num_chunks, max_windows = sparse_grid_stats(
         positions, leaf_level, chunk_size, window, k)
     g = jnp.asarray(config.G, positions.dtype)
-    return _bh_sparse_fused(
-        positions, masses, g, leaf_level=leaf_level, k=k,
-        softening=float(config.softening), chunk_size=chunk_size,
-        num_chunks=num_chunks, max_windows=max_windows,
-        chunk_batch=chunk_batch, window=window, multipole=multipole,
-        far_impl=far_impl)
+    if num_segments is None:
+        # Watchdog bound: the clustered 1e6 theta=0.25 single dispatch
+        # crashed the TPU worker (measured r5); bounded segments follow
+        # the grid-BH pattern. Clustered near-field work scales with the
+        # core occupancy, so key on N.
+        num_segments = 1 if n < 500_000 else 4
+    if num_segments == 1:
+        return _bh_sparse_fused(
+            positions, masses, g, leaf_level=leaf_level, k=k,
+            softening=float(config.softening), chunk_size=chunk_size,
+            num_chunks=num_chunks, max_windows=max_windows,
+            chunk_batch=chunk_batch, window=window, multipole=multipole,
+            far_impl=far_impl)
+    acc = None
+    for si in range(num_segments):
+        part = _bh_sparse_fused(
+            positions, masses, g, leaf_level=leaf_level, k=k,
+            softening=float(config.softening), chunk_size=chunk_size,
+            num_chunks=num_chunks, max_windows=max_windows,
+            chunk_batch=chunk_batch, window=window, multipole=multipole,
+            far_impl=far_impl, num_segments=num_segments,
+            segment_index=jnp.int32(si))
+        acc = part if acc is None else acc + part
+    return acc

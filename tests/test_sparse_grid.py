@@ -149,3 +149,17 @@ def test_sparse_mono_vs_quad(rng_key):
         e[mp] = float(scale_normalized_error(got, want))
     assert e["quad"] < e["mono"]
     assert e["quad"] < 5e-3
+
+
+def test_sparse_segmented_matches_unsegmented(rng_key):
+    """The watchdog-bounding segment split of the sparse evaluation (the
+    clustered-1e6 worker-crash fix) is bit-identical to one dispatch."""
+    from nbody_tpu.config import GravityConfig
+    from nbody_tpu.ops.sparse_grid import barnes_hut_sparse
+    from nbody_tpu.models import plummer_sphere
+    system, cfg = plummer_sphere(rng_key, 6000, dim=3, dtype=jnp.float32)
+    base = barnes_hut_sparse(system.positions, system.masses, cfg,
+                             theta=0.25, num_segments=1)
+    seg = barnes_hut_sparse(system.positions, system.masses, cfg,
+                            theta=0.25, num_segments=4)
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(base))
