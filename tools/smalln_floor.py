@@ -40,16 +40,22 @@ import jax.numpy as jnp
 import nbody_tpu as nb
 from nbody_tpu.integrators import simulate
 
-K_LO, K_HI = 32, 256
+K_LO, K_HI = 256, 4096
 
 
-def timed(fn, *args):
+def timed(fn, *args, repeats: int = 5):
+    """min-of-repeats cached time — single-shot walls carry several ms of
+    relay jitter, which swamps µs-scale differenced signals (a first run
+    of this tool read NEGATIVE per-step times at K_HI=256)."""
     out = fn(*args)
     jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), out)  # warm+materialize
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), out)
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x))), out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def scan_variant(system, cfg, forces_fn, k):
