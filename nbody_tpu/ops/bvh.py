@@ -944,6 +944,14 @@ def bvh_forces(
     The escalation needs concrete stats, so call this un-jitted (each tier
     entry point already is); under ``jit``, pass ``frontier_width`` /
     ``near_cap`` explicitly and treat NaN output as the overflow signal.
+
+    ``caps_state``: stepping loops pass a (initially empty) dict that this
+    driver updates with the settled escalation capacities; the next call
+    seeds its first escalation attempt from it — ~1.2× the exact
+    high-water counts, bucketed to a 1/8-pow2 grid so the static-arg caps
+    share compile fingerprints across steps. Measured on Plummer 1M 3D
+    stepping: part of the 25.2 → 12.0 s/step round-5 reduction
+    (artifacts/clustered_phase.json).
     """
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
