@@ -163,11 +163,14 @@ def _bvh_sharded(pos, mass, cfg, tree_cfg):
                        leaf_size=tree_cfg.max_bodies_per_leaf)
 
 
-@register("BVH_Radix", "h",
-          hyper=lambda n, d, c, t: {
-              "theta": c.theta, "leaf_size": t.max_bodies_per_leaf,
-              "multipole": "quad", "far_impl": "point",
-              "group_size": min(1024, max(1, n))})
+def _bvh_hyper(n, d, c, t):
+    from ..ops.bvh import resolve_bvh_far_impl
+    return {"theta": c.theta, "leaf_size": t.max_bodies_per_leaf,
+            "multipole": "quad", "far_impl": resolve_bvh_far_impl(n),
+            "group_size": min(1024, max(1, n))}
+
+
+@register("BVH_Radix", "h", hyper=_bvh_hyper)
 def _bvh_radix(pos, mass, cfg, tree_cfg):
     from ..ops.bvh import bvh_forces
     return bvh_forces(pos, mass, cfg,

@@ -905,6 +905,24 @@ def _cap_bucket(x: int) -> int:
     return -(-x // g) * g
 
 
+def resolve_bvh_far_impl(n: int) -> str:
+    """Measured far_impl default (one v5e chip, θ=0.25 quad, uniform cube;
+    tools/bvh_far_flip_probe.py → artifacts/bvh_far_impl_bigN.json).
+    The gated order-2 local expansion ("local") amortizes the per-body ×
+    per-accepted-node product, which only outgrows its own plumbing at
+    the biggest cells: paired same-session runs give local/point 4.71/4.49
+    s (2e6 2D), 12.07/11.81 (2e6 3D) — point wins — but 12.28/13.47 (5e6
+    2D) and 32.4/33.3 (5e6 3D; 29.6/32.9 in the round-5 first probe) —
+    local wins 2.8-8.8%. Neutral ±2% at N ≤ 2e5 (round-2 sweep). So
+    "local" from N = 5e6, "point" below. Accuracy cost of the flip
+    (sampled host-f64 oracle, max-over-256 normalized): 1.2-1.9e-4 for
+    local vs 1.2-2.9e-5 for point at 5e6 — still the FMM-order-8 error
+    class, well under the θ=0.25 MAC budget at the accuracy-judged sizes.
+    Shared by bvh_forces and the registry's hyper record so committed run
+    artifacts state the resolved value."""
+    return "local" if n >= 5_000_000 else "point"
+
+
 def bvh_forces(
     positions: jax.Array,
     masses: jax.Array,
@@ -917,7 +935,7 @@ def bvh_forces(
     near_cap: Optional[int] = None,
     max_escalations: int = 3,
     multipole: str = "quad",
-    far_impl: str = "point",
+    far_impl: Optional[str] = None,
     local_gate: float = 8.0,
     caps_state: Optional[dict] = None,
 ) -> jax.Array:
@@ -955,6 +973,8 @@ def bvh_forces(
     """
     n, dim = positions.shape
     theta = config.theta if theta is None else theta
+    if far_impl is None:
+        far_impl = resolve_bvh_far_impl(n)
     if group_size is None:
         # Larger groups amortize the frontier walk across more bodies.
         # Measured on v5e at theta=0.25 (round 2, post segment-tree

@@ -439,3 +439,20 @@ def test_hier_wide_ring_no_double_count(rng_key):
     got = barnes_hut_grid(sys_.positions, sys_.masses, cfg, theta=0.125,
                           leaf_level=3, far_impl="hier")
     assert float(scale_normalized_error(got, want)) < 1e-6
+
+
+def test_bvh_far_impl_resolver():
+    """far_impl=None resolves by N (measured default: "point" below 2e6,
+    "local" at the big cells — artifacts/bvh_far_impl_bigN.json), and the
+    registry's hyper record states the same resolved value so committed
+    run artifacts carry the true configuration."""
+    from nbody_tpu.ops.bvh import resolve_bvh_far_impl
+    from nbody_tpu.bench.registry import all_methods
+    from nbody_tpu.config import GravityConfig, TreeConfig
+    assert resolve_bvh_far_impl(100_000) == "point"
+    assert resolve_bvh_far_impl(2_000_000) == "point"
+    assert resolve_bvh_far_impl(5_000_000) == "local"
+    hyper = all_methods()["BVH_Radix"].hyper
+    for n in (100_000, 2_000_000, 5_000_000):
+        assert hyper(n, 2, GravityConfig(), TreeConfig())["far_impl"] \
+            == resolve_bvh_far_impl(n)
